@@ -214,6 +214,7 @@ class RawIndex:
     chrom_names: list[str] = field(default_factory=list)
     chrom_lens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     ann_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    prefix: str = ""
 
 
 def read_bwt_file(path: str):
@@ -293,6 +294,7 @@ def load_raw_index(prefix: str) -> RawIndex:
         chrom_names=names,
         chrom_lens=lens,
         ann_offsets=offsets,
+        prefix=prefix,
     )
 
 

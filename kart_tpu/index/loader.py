@@ -87,6 +87,23 @@ class GenomeIndex:
         return np.concatenate([fwd, (3 - fwd)[::-1]])
 
     @cached_property
+    def sa_full(self) -> np.ndarray:
+        """Full suffix array over the 2L text (+ sentinel row): sa_full[k] ==
+        bwt_sa(k) for all rows k >= 1.  Loaded from the .saf sidecar when
+        present (written by our indexer) or recomputed with SA-IS from the
+        packed genome for reference-built indexes."""
+        import os
+
+        path = self.raw.prefix + ".saf"
+        if self.raw.prefix and os.path.exists(path):
+            with open(path, "rb") as f:
+                return np.load(f)
+        from ..native import suffix_array
+
+        dtype = np.int32 if self.seq_len < 2**31 else np.int64
+        return suffix_array(self.ref_codes + 1).astype(dtype)
+
+    @cached_property
     def ref_seq(self) -> np.ndarray:
         """ASCII uint8 of the full fwd+revcomp text (the RefSequence of the
         reference, bwt_index.cpp:194-228). No Ns: pac already randomized."""
@@ -117,6 +134,7 @@ class GenomeIndex:
             primary=np.int32(r.primary),
             seq_len=np.int32(r.seq_len),
             sa_intv=np.int32(r.sa_intv),
+            sa_full=self.sa_full.astype(np.int32),
         )
 
 

@@ -138,6 +138,24 @@ class FMIndexRef:
         return length, freq, locs
 
 
+def identify_seed_pairs_fast(fm: FMIndexRef, seq: np.ndarray, min_seed_len: int):
+    """Host emulation of IdentifySeedPairs_FastMode (reference:
+    src/AlignmentCandidates.cpp:49-80), before the PosDiff sort.
+    Returns list of (rpos, length, gpos) in emission order."""
+    rlen = len(seq)
+    out = []
+    pos, end_pos = 0, rlen - min_seed_len
+    while pos < end_pos:
+        if seq[pos] > 3:
+            pos += 1
+            continue
+        length, freq, locs = fm.search(seq, pos, rlen, min_seed_len)
+        for loc in locs:
+            out.append((pos, length, int(loc)))
+        pos += length + 1
+    return out
+
+
 def fm_from_genome_index(gidx) -> FMIndexRef:
     r = gidx.raw
     return FMIndexRef(

@@ -1,0 +1,261 @@
+"""Batched FM-index search kernels (JAX, TPU-first).
+
+These are the two hot loops of the aligner (reference: src/bwt_search.cpp):
+
+1. `seed_scan` — the FastMode seeding pass (IdentifySeedPairs_FastMode +
+   BWT_Search, reference src/AlignmentCandidates.cpp:49-80 and
+   src/bwt_search.cpp:140-184) recast as a uniform left-to-right scan:
+   every read in the batch advances one read position per step, maintaining
+   an (x0, x1, x2) interval triple; maximal exact extensions end exactly when
+   the interval empties or an ambiguous base is hit, at which point a seed
+   block (start, length, SA-interval start, freq) is recorded and the scan
+   re-seeds at the next position.  This turns the reference's per-read
+   while-loop into a fixed-trip-count batched loop with no data-dependent
+   control flow, which is what XLA/TPU wants.
+
+2. `sa_walk` — batched suffix-array resolution (bwt_sa, src/bwt_search.cpp:
+   128-138): up to sa_intv-1 masked inverse-Psi steps per occurrence.
+
+Arithmetic is int32 (genomes < 2^31 text bases); the occurrence counting
+uses the same 2-bit popcount trick as the reference's __occ_aux, vectorized
+over lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OCC_THR = 50
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class FMIndexArrays:
+    """Device-resident FM-index (TPU layout: de-interleaved Occ/BWT)."""
+
+    occ_cp: jax.Array  # (n_blocks, 4) int32
+    bwt_words: jax.Array  # (n_blocks, 8) uint32
+    sa_samples: jax.Array  # (n_sa,) int32
+    L2: jax.Array  # (5,) int32
+    primary: jax.Array  # () int32
+    seq_len: jax.Array  # () int32
+    sa_full: jax.Array | None = None  # (seq_len+1,) int32 — fast-path SA
+
+    def tree_flatten(self):
+        return (
+            (
+                self.occ_cp,
+                self.bwt_words,
+                self.sa_samples,
+                self.L2,
+                self.primary,
+                self.seq_len,
+                self.sa_full,
+            ),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_genome_index(cls, gidx, sharding=None, with_full_sa=True):
+        d = gidx.device_arrays
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
+        return cls(
+            occ_cp=put(d["occ_cp"]),
+            bwt_words=put(d["bwt_words"]),
+            sa_samples=put(d["sa_samples"]),
+            L2=jnp.asarray(d["L2"]),
+            primary=jnp.asarray(d["primary"]),
+            seq_len=jnp.asarray(d["seq_len"]),
+            sa_full=put(d["sa_full"]) if with_full_sa else None,
+        )
+
+
+_M55 = jnp.uint32(0x55555555)
+
+
+def _count4_word(w):
+    """Per-char occurrence counts in one 32-bit BWT word (16 bases).
+    Vectorized equivalent of the reference cnt_table trick (__occ_aux4).
+    w: uint32 array of any shape -> (4,) + shape int32 counts."""
+    nw = ~w
+    m0 = (nw >> 1) & nw & _M55
+    m1 = (nw >> 1) & w & _M55
+    m2 = (w >> 1) & nw & _M55
+    m3 = (w >> 1) & w & _M55
+    stacked = jnp.stack([m0, m1, m2, m3])
+    return jax.lax.population_count(stacked).astype(jnp.int32)
+
+
+def occ4(fm: FMIndexArrays, k):
+    """bwt_occ4(k): counts of each code in bwt[0..k] (k int32 scalar,
+    0 <= k <= seq_len; the reference's k==-1 case cannot arise in our call
+    sites because x1 >= 1 always)."""
+    kk = k - (k >= fm.primary).astype(jnp.int32)
+    blk = kk >> 7
+    words = fm.bwt_words[blk]  # (8,) uint32
+    base = fm.occ_cp[blk]  # (4,) int32
+    jk = (kk & 0x7F) >> 4
+    counts = _count4_word(words)  # (4, 8)
+    jj = jnp.arange(8, dtype=jnp.int32)
+    full = jnp.sum(jnp.where(jj < jk, counts, 0), axis=1)  # (4,)
+    shift = ((~kk & 0xF) << 1).astype(jnp.uint32)
+    mask = ~((jnp.uint32(1) << shift) - jnp.uint32(1))
+    partial = _count4_word(words[jk] & mask)  # (4,)
+    cnt = base + full + partial
+    return cnt - jnp.array([1, 0, 0, 0], jnp.int32) * (~kk & 0xF)
+
+
+def bwt_char(fm: FMIndexArrays, x):
+    """bwt_B0: 2-bit code at primary-adjusted row x."""
+    w = fm.bwt_words[x >> 7, (x & 0x7F) >> 4]
+    return ((w >> (((~x & 0xF) << 1).astype(jnp.uint32))) & jnp.uint32(3)).astype(jnp.int32)
+
+
+def inv_psi(fm: FMIndexArrays, k):
+    """bwt_invPsi(k) for one row (int32)."""
+    x = k - (k > fm.primary).astype(jnp.int32)
+    c = bwt_char(fm, x)
+    occ_kc = occ4(fm, k)[c]
+    # occ(k==seq_len, c) special case collapses to the same value (full
+    # counts), so no branch is needed; k==primary maps to row 0.
+    nk = fm.L2[c] + occ_kc
+    return jnp.where(k == fm.primary, 0, nk)
+
+
+# ---------------------------------------------------------------------------
+# Seeding scan (FastMode)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
+def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
+    """Batched FastMode seeding.
+
+    reads: (B, l_max) int32 2-bit codes, padded with 4 beyond rlen.
+    rlens: (B,) int32.
+    min_seed_len: int32 scalar.
+
+    Returns dict of (B, max_seeds) arrays: rpos, slen, k0 (SA-interval
+    start), freq (0 if unrecorded), and (B,) n_seeds.
+    """
+    B = reads.shape[0]
+    L2 = fm.L2
+    # extra trailing column of ambiguous codes so the last extension of every
+    # read terminates (and emits its seed) inside the fixed-trip loop
+    reads = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
+
+    occ4_b = jax.vmap(lambda k: occ4(fm, k))
+
+    def step(p, state):
+        active, start, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf = state
+        c = jax.lax.dynamic_index_in_dim(reads, p, axis=1, keepdims=False)  # (B,)
+        amb = c > 3
+        c_safe = jnp.minimum(c, 3)
+
+        # --- extension attempt for active lanes (uniform compute) ---
+        tk = occ4_b(x1 - 1)  # (B, 4)
+        tl = occ4_b(x1 - 1 + x2)
+        ok_x1 = L2[None, :4] + 1 + tk
+        ok_x2 = tl - tk
+        s3 = x0 + ((x1 <= fm.primary) & (x1 + x2 - 1 >= fm.primary)).astype(jnp.int32)
+        s2 = s3 + ok_x2[:, 3]
+        s1 = s2 + ok_x2[:, 2]
+        s0 = s1 + ok_x2[:, 1]
+        ok_x0 = jnp.stack([s0, s1, s2, s3], axis=1)  # (B, 4)
+
+        i = 3 - c_safe
+        bidx = jnp.arange(B)
+        nx0 = ok_x0[bidx, i]
+        nx1 = ok_x1[bidx, i]
+        nx2 = ok_x2[bidx, i]
+
+        ext_fail = amb | (nx2 == 0)
+
+        # --- seed emission: active extension ended at p ---
+        emit = active & ext_fail
+        length = p - start
+        record = emit & (length >= min_seed_len) & (x2 <= OCC_THR)
+        slot = jnp.where(record, n_seeds, max_seeds)  # out-of-bounds -> drop
+        rpos = rpos.at[bidx, slot].set(start, mode="drop")
+        slen = slen.at[bidx, slot].set(length, mode="drop")
+        k0f = k0f.at[bidx, slot].set(x0, mode="drop")
+        freqf = freqf.at[bidx, slot].set(x2, mode="drop")
+        n_seeds = n_seeds + record.astype(jnp.int32)
+
+        # --- state transition ---
+        # inactive & !amb & p < rlen - min_seed_len: start a new extension
+        can_start = (~active) & (~amb) & (p < rlens - min_seed_len)
+        init_x0 = L2[c_safe] + 1
+        init_x1 = L2[3 - c_safe] + 1
+        init_x2 = L2[c_safe + 1] - L2[c_safe]
+
+        cont = active & ~ext_fail
+        new_active = cont | can_start
+        new_start = jnp.where(can_start, p, start)
+        new_x0 = jnp.where(cont, nx0, jnp.where(can_start, init_x0, x0))
+        new_x1 = jnp.where(cont, nx1, jnp.where(can_start, init_x1, x1))
+        new_x2 = jnp.where(cont, nx2, jnp.where(can_start, init_x2, x2))
+        return (new_active, new_start, new_x0, new_x1, new_x2, n_seeds, rpos, slen, k0f, freqf)
+
+    z = jnp.zeros((B,), jnp.int32)
+    zb = jnp.zeros((B,), bool)
+    zs = jnp.zeros((B, max_seeds), jnp.int32)
+    # reads are padded with an extra column of 4s so the final active
+    # extension terminates and emits inside the loop
+    state = (zb, z, z, z, z, z, zs, zs, zs, zs)
+    state = jax.lax.fori_loop(0, l_max + 1, step, state)
+    _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf = state
+    return dict(rpos=rpos, slen=slen, k0=k0f, freq=freqf, n_seeds=n_seeds)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array resolution
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def sa_walk(fm: FMIndexArrays, ks, sa_intv_log2=jnp.int32(5), *, max_steps=4096):
+    """Batched bwt_sa: resolve rows ks (N,) int32 to text positions via
+    masked inverse-Psi steps until every lane reaches a sampled row.
+
+    The sampled SA marks rows whose *row index* is a multiple of sa_intv
+    (reference: bwt_cal_sa, src/BWT_Index/bwt.c:101-123), so a walk takes
+    geometric(1/32) many steps — expected 32, unbounded worst case.  We use
+    a while_loop that exits when all lanes are done (or at max_steps; lanes
+    still unresolved then are reported via the returned done mask and must
+    be finished by the caller's fallback path)."""
+    mask = (jnp.int32(1) << sa_intv_log2) - 1
+
+    def cond(state):
+        k, add, it = state
+        return (it < max_steps) & jnp.any((k & mask) != 0)
+
+    def body(state):
+        k, add, it = state
+        at_sample = (k & mask) == 0
+        nk = jax.vmap(lambda kk: inv_psi(fm, kk))(k)
+        k = jnp.where(at_sample, k, nk)
+        add = add + (~at_sample).astype(jnp.int32)
+        return (k, add, it + 1)
+
+    add0 = jnp.zeros_like(ks)
+    k, add, _ = jax.lax.while_loop(cond, body, (ks, add0, jnp.int32(0)))
+    done = (k & mask) == 0
+    return add + fm.sa_samples[k >> sa_intv_log2], done
+
+
+@jax.jit
+def sa_resolve_full(sa_full, ks):
+    """Full-SA resolution: one gather. `sa_full[(k)] == bwt_sa(k)` for every
+    row k >= 1 (for genomes whose full int32 SA fits in HBM this removes the
+    invPsi walk entirely — the TPU-native fast path)."""
+    return sa_full[ks]

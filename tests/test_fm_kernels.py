@@ -1,0 +1,111 @@
+"""Batched FM-search kernels vs the host reference model."""
+
+import numpy as np
+import pytest
+
+from kart_tpu.index import build_index, load_index
+from kart_tpu.ops.fm_ref import fm_from_genome_index, identify_seed_pairs_fast
+from kart_tpu.ops.fm_search import FMIndexArrays, sa_resolve_full, sa_walk, seed_scan
+
+from conftest import make_genome
+
+
+@pytest.fixture(scope="module")
+def tiny_index(workdir):
+    rng = np.random.default_rng(5)
+    fa = workdir / "fmtest.fa"
+    fa.write_text(make_genome(rng, [20000], n_runs=0))
+    prefix = workdir / "fmtest_idx"
+    build_index(str(fa), str(prefix), verbose=False)
+    return load_index(str(prefix))
+
+
+def simulate_reads(gidx, n, rlen, err=0.02, seed=3):
+    rng = np.random.default_rng(seed)
+    codes = gidx.ref_codes
+    reads = np.empty((n, rlen), dtype=np.int32)
+    for i in range(n):
+        p = rng.integers(0, gidx.two_genome_size - rlen)
+        r = codes[p : p + rlen].astype(np.int32)
+        nmut = rng.binomial(rlen, err)
+        idx = rng.integers(0, rlen, size=nmut)
+        r[idx] = (r[idx] + rng.integers(1, 4, size=nmut)) % 4
+        # occasional ambiguous base
+        if rng.random() < 0.3:
+            r[rng.integers(0, rlen)] = 4
+        reads[i] = r
+    return reads
+
+
+def test_occ4_and_sa_vs_ref(tiny_index):
+    fm_ref = fm_from_genome_index(tiny_index)
+    fm_dev = FMIndexArrays.from_genome_index(tiny_index)
+    from kart_tpu.ops.fm_search import occ4 as occ4_dev
+    import jax
+
+    rng = np.random.default_rng(0)
+    ks = rng.integers(0, tiny_index.seq_len + 1, size=200).astype(np.int32)
+    got = jax.vmap(lambda k: occ4_dev(fm_dev, k))(ks)
+    for j, k in enumerate(ks):
+        np.testing.assert_array_equal(np.asarray(got[j]), fm_ref.occ4(int(k)), err_msg=f"k={k}")
+
+    rows = rng.integers(1, tiny_index.seq_len + 1, size=100).astype(np.int32)
+    pos, done = sa_walk(fm_dev, rows)
+    assert bool(np.all(np.asarray(done)))
+    pos = np.asarray(pos)
+    full = np.asarray(sa_resolve_full(fm_dev.sa_full, rows))
+    np.testing.assert_array_equal(pos, full)  # walk == full-SA gather
+    for j, r in enumerate(rows[:40]):
+        assert pos[j] == fm_ref.sa_lookup(int(r)), f"row {r}"
+
+
+def test_seed_scan_matches_reference_model(tiny_index):
+    fm_ref = fm_from_genome_index(tiny_index)
+    fm_dev = FMIndexArrays.from_genome_index(tiny_index)
+    min_seed = 13
+    rlen = 120
+    reads = simulate_reads(tiny_index, 32, rlen)
+    rlens = np.full(32, rlen, dtype=np.int32)
+
+    out = seed_scan(
+        fm_dev, reads, rlens, np.int32(min_seed), max_seeds=rlen // (min_seed + 1) + 1, l_max=rlen
+    )
+    n_seeds = np.asarray(out["n_seeds"])
+    rpos = np.asarray(out["rpos"])
+    slen = np.asarray(out["slen"])
+    k0 = np.asarray(out["k0"])
+    freq = np.asarray(out["freq"])
+
+    for i in range(32):
+        expected = identify_seed_pairs_fast(fm_ref, reads[i], min_seed)
+        got = []
+        for s in range(n_seeds[i]):
+            rows = k0[i, s] + np.arange(freq[i, s], dtype=np.int32)
+            locs = np.asarray(sa_resolve_full(fm_dev.sa_full, rows.astype(np.int32)))
+            for loc in locs:
+                got.append((int(rpos[i, s]), int(slen[i, s]), int(loc)))
+        assert got == expected, f"read {i}"
+
+
+def test_seed_scan_variable_lengths(tiny_index):
+    """Reads shorter than l_max padded with 4s behave like their true length."""
+    fm_ref = fm_from_genome_index(tiny_index)
+    fm_dev = FMIndexArrays.from_genome_index(tiny_index)
+    min_seed = 13
+    l_max = 100
+    rng = np.random.default_rng(11)
+    lens = np.array([40, 77, 100, 14], dtype=np.int32)
+    codes = tiny_index.ref_codes
+    reads = np.full((4, l_max), 4, dtype=np.int32)
+    for i, L in enumerate(lens):
+        p = rng.integers(0, tiny_index.two_genome_size - int(L))
+        reads[i, :L] = codes[p : p + L]
+    out = seed_scan(fm_dev, reads, lens, np.int32(min_seed), max_seeds=8, l_max=l_max)
+    for i, L in enumerate(lens):
+        expected = identify_seed_pairs_fast(fm_ref, reads[i, :L], min_seed)
+        got = []
+        for s in range(int(out["n_seeds"][i])):
+            rows = int(out["k0"][i, s]) + np.arange(int(out["freq"][i, s]))
+            locs = np.asarray(sa_resolve_full(fm_dev.sa_full, rows.astype(np.int32)))
+            got += [(int(out["rpos"][i, s]), int(out["slen"][i, s]), int(l)) for l in locs]
+        assert got == expected, f"read {i} len {L}"
