@@ -1,0 +1,274 @@
+"""Chunk mapper: device seeding + host divide/conquer/report pipeline.
+
+Orchestration mirror of ReadMapping/Mapping (reference: src/Mapping.cpp:
+488-742): per 4000-read chunk, seed on the TPU (batched FM scan + one
+full-SA gather), then run the per-read candidate/report pipeline and emit
+SAM records.  Paired-end state (online insert-size estimate) follows the
+reference's exact update rule."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.format import NT4_TABLE
+from ..index.loader import GenomeIndex
+from ..io.fastq import RawRead
+from ..ops.fm_ref import fm_from_genome_index
+from ..ops.fm_search import FMIndexArrays, sa_resolve_full, seed_scan
+from .candidates import (
+    Candidate,
+    Seed,
+    gen_candidates_illumina,
+    gen_candidates_pacbio,
+    remove_redundant_candidates,
+)
+from .conquer import Conquer
+from .pairing import (
+    check_paired_candidates,
+    check_paired_final_alignments,
+    remove_unmated_candidates,
+    rescue_unpaired,
+)
+from .report import ReadState, gen_mapping_report
+from .sam import evaluate_mapq, output_paired, output_single, set_paired_flags, set_single_flag
+
+_B_BUCKETS = [64, 256, 1024, 2048, 4000]
+_L_BUCKETS = [64, 128, 160, 256, 384, 512]
+
+
+def compute_min_seed_length(two_genome_size: int) -> int:
+    """Mapping.cpp:645: smallest k in 13..15 with 4^k > 2L, else 16."""
+    for m in range(13, 16):
+        if two_genome_size < 4**m:
+            return m
+    return 16
+
+
+def _bucket(x: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if x <= b:
+            return b
+    return x
+
+
+class KartMapper:
+    def __init__(
+        self,
+        gidx: GenomeIndex,
+        pacbio: bool = False,
+        max_gaps: int = 5,
+        max_insert_size: int = 1500,
+        multi_hit: bool = False,
+        use_device: bool = True,
+    ):
+        self.gidx = gidx
+        self.pacbio = pacbio
+        self.max_gaps = max_gaps
+        self.max_insert_size = max_insert_size
+        self.multi_hit = multi_hit
+        self.min_seed_len = compute_min_seed_length(gidx.two_genome_size)
+        self.conquer = Conquer(gidx.ref_seq, pacbio, max_gaps)
+        self.use_device = use_device
+        self.fm_dev = FMIndexArrays.from_genome_index(gidx) if use_device else None
+        self.fm_ref = fm_from_genome_index(gidx)
+        self.sa_full_np = gidx.sa_full
+        # shared counters (reference: Mapping.cpp:20)
+        self.stats = dict(total=0, unique=0, unmapped=0, paired=0, distance=0)
+
+    # ------------------------------------------------------------------
+    # Seeding
+    # ------------------------------------------------------------------
+
+    def _encode(self, seq: bytes) -> np.ndarray:
+        return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].astype(np.int32)
+
+    def _seed_batch_fast(self, enc_reads: list[np.ndarray]) -> list[list[Seed]]:
+        """FastMode seeding for a batch of encoded reads -> per-read
+        PosDiff-sorted seed lists (IdentifySeedPairs_FastMode)."""
+        n = len(enc_reads)
+        if n == 0:
+            return []
+        if not self.use_device:
+            out = []
+            from ..ops.fm_ref import identify_seed_pairs_fast
+
+            for enc in enc_reads:
+                tuples = identify_seed_pairs_fast(self.fm_ref, enc, self.min_seed_len)
+                seeds = [Seed(True, rp, gp, ln, ln, gp - rp) for rp, ln, gp in tuples]
+                seeds.sort(key=lambda s: (s.posdiff, s.rpos))
+                out.append(seeds)
+            return out
+
+        rlens = np.array([len(e) for e in enc_reads], dtype=np.int32)
+        l_max = _bucket(int(rlens.max()), _L_BUCKETS)
+        B = _bucket(n, _B_BUCKETS)
+        reads = np.full((B, l_max), 4, dtype=np.int32)
+        for i, e in enumerate(enc_reads):
+            reads[i, : len(e)] = e[:l_max]
+        rl = np.zeros(B, dtype=np.int32)
+        rl[:n] = rlens
+        max_seeds = l_max // (self.min_seed_len + 1) + 1
+        out = seed_scan(
+            self.fm_dev,
+            reads,
+            rl,
+            np.int32(self.min_seed_len),
+            max_seeds=max_seeds,
+            l_max=l_max,
+        )
+        n_seeds = np.asarray(out["n_seeds"])[:n]
+        rpos = np.asarray(out["rpos"])[:n]
+        slen = np.asarray(out["slen"])[:n]
+        k0 = np.asarray(out["k0"])[:n]
+        freq = np.asarray(out["freq"])[:n]
+
+        # flatten all occurrences, resolve with one full-SA gather
+        sidx = np.arange(max_seeds)[None, :] < n_seeds[:, None]
+        f = np.where(sidx, freq, 0)
+        reps = f.reshape(-1)
+        total = int(reps.sum())
+        if total == 0:
+            return [[] for _ in range(n)]
+        base = np.repeat(k0.reshape(-1), reps)
+        cum = np.cumsum(reps)
+        offs = np.arange(total) - np.repeat(cum - reps, reps)
+        rows = (base + offs).astype(np.int32)
+        locs = self.sa_full_np[rows]
+        rp_flat = np.repeat(rpos.reshape(-1), reps)
+        ln_flat = np.repeat(slen.reshape(-1), reps)
+        read_of = np.repeat(np.repeat(np.arange(n), max_seeds), reps)
+
+        result: list[list[Seed]] = [[] for _ in range(n)]
+        pd_flat = locs.astype(np.int64) - rp_flat
+        for t in range(total):
+            i = read_of[t]
+            result[i].append(
+                Seed(True, int(rp_flat[t]), int(locs[t]), int(ln_flat[t]), int(ln_flat[t]), int(pd_flat[t]))
+            )
+        for seeds in result:
+            seeds.sort(key=lambda s: (s.posdiff, s.rpos))
+        return result
+
+    def _seed_sensitive(self, enc: np.ndarray) -> list[Seed]:
+        """SensitiveMode seeding (IdentifySeedPairs_SensitiveMode,
+        AlignmentCandidates.cpp:132-169), host path."""
+        rlen = len(enc)
+        seeds: list[Seed] = []
+        pos, stop_pos, end_pos = 0, 30, rlen - self.min_seed_len
+        while pos < end_pos:
+            if enc[pos] > 3:
+                pos += 1
+                stop_pos += 1
+            else:
+                length, freq, locs = self.fm_ref.search(enc, pos, stop_pos, self.min_seed_len)
+                if freq > 0:
+                    for loc in locs:
+                        seeds.append(Seed(True, pos, int(loc), length, length, int(loc) - pos))
+                    pos += length
+                    stop_pos += length
+                else:
+                    pos += self.min_seed_len
+                    stop_pos += self.min_seed_len
+                if stop_pos > rlen:
+                    stop_pos = rlen
+        seeds.sort(key=lambda s: (s.gpos, s.rpos))
+        return seeds
+
+    # ------------------------------------------------------------------
+    # Chunk mapping
+    # ------------------------------------------------------------------
+
+    def _est_distance(self) -> int:
+        # Mapping.cpp:533-540
+        if self.stats["paired"] >= 1000:
+            est = self.stats["distance"] // (self.stats["paired"] >> 2)
+            return est + (est >> 1)
+        return self.max_insert_size
+
+    def _make_state(self, r: RawRead) -> ReadState:
+        return ReadState(header=r.header, seq=r.seq, qual=r.qual, rlen=r.rlen)
+
+    def map_chunk(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
+        n = len(chunk)
+        if n == 0:
+            return []
+        sam: list[str] = []
+        my = dict(unique=0, unmapped=0, paired=0, distance=0)
+        if self.pacbio:
+            states = []
+            for r in chunk:
+                st = self._make_state(r)
+                enc = self._encode(r.seq)
+                seeds = self._seed_sensitive(enc)
+                cands = gen_candidates_pacbio(r.rlen, seeds)
+                remove_redundant_candidates(cands, pacbio=True)
+                gen_mapping_report(
+                    self.gidx, self.conquer, True, st, cands, True, self.multi_hit
+                )
+                set_single_flag(st)
+                evaluate_mapq(st, pacbio=True)
+                states.append(st)
+            for st in states:
+                sam.extend(output_single(self.gidx, st, fastq, self.multi_hit, my))
+        elif pair_end and n % 2 == 0:
+            est = self._est_distance()
+            seeds_all = self._seed_batch_fast([self._encode(r.seq) for r in chunk])
+            states = [self._make_state(r) for r in chunk]
+            for i in range(0, n, 2):
+                j = i + 1
+                st1, st2 = states[i], states[j]
+                cands1 = gen_candidates_illumina(
+                    st1.rlen, seeds_all[i], self.gidx, self.max_gaps
+                )
+                cands2 = gen_candidates_illumina(
+                    st2.rlen, seeds_all[j], self.gidx, self.max_gaps
+                )
+                pairing = check_paired_candidates(est, cands1, cands2)
+                if not pairing:
+                    pairing = rescue_unpaired(
+                        self.gidx,
+                        est,
+                        self.max_insert_size,
+                        self.max_gaps,
+                        st1,
+                        st2,
+                        cands1,
+                        cands2,
+                    )
+                if pairing:
+                    remove_unmated_candidates(cands1, cands2)
+                remove_redundant_candidates(cands1, pacbio=False)
+                remove_redundant_candidates(cands2, pacbio=False)
+                gen_mapping_report(
+                    self.gidx, self.conquer, True, st1, cands1, False, self.multi_hit
+                )
+                gen_mapping_report(
+                    self.gidx, self.conquer, False, st2, cands2, False, self.multi_hit
+                )
+                check_paired_final_alignments(st1, st2, self.multi_hit)
+                set_paired_flags(st1, st2)
+                evaluate_mapq(st1, pacbio=False)
+                evaluate_mapq(st2, pacbio=False)
+            for i in range(0, n, 2):
+                sam.extend(
+                    output_paired(self.gidx, states[i], states[i + 1], fastq, self.multi_hit, my)
+                )
+        else:
+            seeds_all = self._seed_batch_fast([self._encode(r.seq) for r in chunk])
+            states = [self._make_state(r) for r in chunk]
+            for i, st in enumerate(states):
+                cands = gen_candidates_illumina(st.rlen, seeds_all[i], self.gidx, self.max_gaps)
+                remove_redundant_candidates(cands, pacbio=False)
+                gen_mapping_report(
+                    self.gidx, self.conquer, True, st, cands, False, self.multi_hit
+                )
+                set_single_flag(st)
+                evaluate_mapq(st, pacbio=False)
+            for st in states:
+                sam.extend(output_single(self.gidx, st, fastq, self.multi_hit, my))
+        self.stats["total"] += n
+        self.stats["unique"] += my["unique"]
+        self.stats["unmapped"] += my["unmapped"]
+        self.stats["paired"] += my["paired"]
+        self.stats["distance"] += my["distance"]
+        return sam

@@ -1,0 +1,124 @@
+"""Golden-SAM equality vs the reference aligner across all mapping modes.
+
+The north-star correctness criterion (BASELINE.md): bit-identical SAM,
+including the header.  The reference binary is run single-threaded so its
+chunk output order is deterministic."""
+
+import gzip
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import REFBUILD, make_genome, needs_reference
+
+from kart_tpu import cli as kart_cli
+
+pytestmark = needs_reference
+
+WGSIM = REFBUILD / "wgsim" / "wgsim"
+
+
+@pytest.fixture(scope="module")
+def golden(workdir):
+    """Genome + reference index + simulated reads."""
+    d = workdir / "golden"
+    d.mkdir(exist_ok=True)
+    fa = d / "g.fa"
+    if not fa.exists():
+        rng = np.random.default_rng(424)
+        fa.write_text(make_genome(rng, [70000, 30000], n_runs=2))
+        subprocess.run(
+            [str(REFBUILD / "bin" / "bwt_index"), str(fa), str(d / "idx")],
+            check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            [str(WGSIM), "-N", "400", "-l", "100", "-e", "0.02", "-r", "0.005", "-R", "0.15",
+             str(fa), str(d / "r1.fq"), str(d / "r2.fq")],
+            check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            [str(WGSIM), "-N", "30", "-l", "1500", "-e", "0.10", "-r", "0.001",
+             str(fa), str(d / "pb1.fq"), str(d / "pb2.fq")],
+            check=True,
+            capture_output=True,
+        )
+    return d
+
+
+def run_both(golden, ref_args, our_args, name):
+    ref_out = golden / f"ref_{name}.sam"
+    our_out = golden / f"our_{name}.sam"
+    subprocess.run(
+        [str(REFBUILD / "bin" / "kart"), "-t", "1", "-i", str(golden / "idx")]
+        + ref_args
+        + ["-o", str(ref_out)],
+        check=True,
+        capture_output=True,
+    )
+    rc = kart_cli.main(
+        ["kart-tpu", "-i", str(golden / "idx")] + our_args + ["-o", str(our_out), "-silent"]
+    )
+    assert rc == 0
+    a = ref_out.read_text()
+    b = our_out.read_text()
+    assert a == b, f"{name}: SAM differs"
+
+
+def test_single_end(golden):
+    run_both(golden, ["-f", str(golden / "r1.fq")], ["-f", str(golden / "r1.fq")], "se")
+
+
+def test_paired_end(golden):
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args, "pe")
+
+
+def test_paired_end_multihit(golden):
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq"), "-m"]
+    run_both(golden, args, args, "pe_m")
+
+
+def test_gzipped_input(golden):
+    gz1 = golden / "r1.fq.gz"
+    if not gz1.exists():
+        gz1.write_bytes(gzip.compress((golden / "r1.fq").read_bytes()))
+    run_both(golden, ["-f", str(gz1)], ["-f", str(gz1)], "gz")
+
+
+def test_fasta_input(golden):
+    fa_reads = golden / "r1.fa"
+    if not fa_reads.exists():
+        lines = (golden / "r1.fq").read_text().splitlines()
+        out = []
+        for i in range(0, len(lines), 4):
+            out.append(">" + lines[i][1:])
+            out.append(lines[i + 1])
+        fa_reads.write_text("\n".join(out) + "\n")
+    run_both(golden, ["-f", str(fa_reads)], ["-f", str(fa_reads)], "fa")
+
+
+def test_interlaced_pairs(golden):
+    inter = golden / "inter.fq"
+    if not inter.exists():
+        l1 = (golden / "r1.fq").read_text().splitlines()
+        l2 = (golden / "r2.fq").read_text().splitlines()
+        out = []
+        for i in range(0, len(l1), 4):
+            out += l1[i : i + 4] + l2[i : i + 4]
+        inter.write_text("\n".join(out) + "\n")
+    args = ["-p", "-f", str(inter)]
+    run_both(golden, args, args, "inter")
+
+
+def test_pacbio(golden):
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args, "pb")
+
+
+def test_max_gaps_flag(golden):
+    args = ["-f", str(golden / "r1.fq"), "-g", "2"]
+    run_both(golden, args, args, "g2")
