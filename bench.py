@@ -1,0 +1,121 @@
+"""kart-tpu benchmark: Illumina PE mapping throughput on one TPU chip.
+
+Self-bootstrapping: builds a synthetic E. coli-scale index (4,639,680 bp,
+seeded) and a deterministic 20k-pair 150 bp read set with 1% base error +
+indels, maps them end-to-end (device seeding + host pipeline), and prints
+one JSON line.
+
+vs_baseline denominator: reference Kart compiled from /root/reference and
+measured on THIS host at -t 16 (saturating its 2 CPUs): 120,544 reads/s
+on the same workload class (2026-08-17, see BASELINE.md targets).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(REPO, "bench_data")
+BASELINE_REF_READS_PER_SEC = 120544.0  # 16-thread CPU kart on this host
+
+GENOME_LEN = 4_639_680
+N_PAIRS = 20_000
+READ_LEN = 150
+
+
+def ensure_assets():
+    os.makedirs(DATA, exist_ok=True)
+    fa = os.path.join(DATA, "bench_genome.fa")
+    prefix = os.path.join(DATA, "bench_idx")
+    sys.path.insert(0, REPO)
+    from kart_tpu.index import build_index, index_files_exist
+
+    if not os.path.exists(fa):
+        rng = np.random.default_rng(7)
+        seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_LEN)
+        with open(fa, "wb") as f:
+            f.write(b">bench_ecoli_synthetic\n")
+            s = seq.tobytes()
+            for j in range(0, len(s), 70):
+                f.write(s[j : j + 70] + b"\n")
+    if not (index_files_exist(prefix) and os.path.exists(prefix + ".saf")):
+        build_index(fa, prefix, verbose=False)
+
+    r1 = os.path.join(DATA, "bench_r1.fq")
+    r2 = os.path.join(DATA, "bench_r2.fq")
+    if not (os.path.exists(r1) and os.path.exists(r2)):
+        simulate_reads(fa, r1, r2)
+    return prefix, r1, r2
+
+
+def simulate_reads(fa, out1, out2, err=0.01, indel=0.001):
+    """Deterministic PE simulator (insert ~500, sd 50)."""
+    from kart_tpu.index.format import parse_fasta
+
+    seqs = parse_fasta(fa)
+    genome = seqs[0].seq
+    comp = dict(zip(b"ACGT", b"TGCA"))
+    rng = np.random.default_rng(20260817)
+    L = len(genome)
+    with open(out1, "w") as f1, open(out2, "w") as f2:
+        for i in range(N_PAIRS):
+            insert = max(2 * READ_LEN, int(rng.normal(500, 50)))
+            p = int(rng.integers(0, L - insert))
+            frag = bytearray(genome[p : p + insert])
+            # base errors + occasional indels
+            nerr = rng.binomial(len(frag), err)
+            for q in rng.integers(0, len(frag), size=nerr):
+                frag[q] = b"ACGT"[rng.integers(0, 4)]
+            if rng.random() < indel * insert:
+                q = int(rng.integers(10, len(frag) - 10))
+                if rng.random() < 0.5:
+                    del frag[q : q + int(rng.integers(1, 4))]
+                else:
+                    frag[q:q] = bytes(b"ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(1, 4))))
+            fwd = bytes(frag[:READ_LEN])
+            rev = bytes(comp.get(c, 0x4E) for c in reversed(frag[-READ_LEN:]))
+            q = "I" * READ_LEN
+            f1.write(f"@{i}:Pos={p + 1}\t/1\n{fwd.decode()}\n+\n{q}\n")
+            f2.write(f"@{i}:Pos={p + 1}\t/2\n{rev.decode()}\n+\n{q}\n")
+
+
+def main():
+    prefix, r1, r2 = ensure_assets()
+    from kart_tpu.index import load_index
+    from kart_tpu.io.fastq import ReadStream, next_chunk
+    from kart_tpu.pipeline.mapper import KartMapper
+
+    gidx = load_index(prefix)
+    mapper = KartMapper(gidx)
+
+    # warm-up: compile kernels on a first small chunk
+    s1 = ReadStream(r1, True)
+    s2 = ReadStream(r2, True)
+    warm = next_chunk(s1, s2, True, False)
+    mapper.map_chunk(warm, True, True)
+
+    n_reads = len(warm)
+    t0 = time.time()
+    out_lines = 0
+    while True:
+        chunk = next_chunk(s1, s2, True, False)
+        if not chunk:
+            break
+        out_lines += len(mapper.map_chunk(chunk, True, True))
+        n_reads += len(chunk)
+    dt = time.time() - t0
+    reads_per_sec = (n_reads - len(warm)) / dt
+    result = {
+        "metric": "illumina_pe_reads_per_sec_per_chip",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_REF_READS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

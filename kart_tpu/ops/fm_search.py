@@ -72,9 +72,9 @@ class FMIndexArrays:
             occ_cp=put(d["occ_cp"]),
             bwt_words=put(d["bwt_words"]),
             sa_samples=put(d["sa_samples"]),
-            L2=jnp.asarray(d["L2"]),
-            primary=jnp.asarray(d["primary"]),
-            seq_len=jnp.asarray(d["seq_len"]),
+            L2=put(d["L2"]),
+            primary=put(d["primary"]),
+            seq_len=put(d["seq_len"]),
             sa_full=put(d["sa_full"]) if with_full_sa else None,
         )
 
@@ -206,9 +206,12 @@ def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max
         new_x2 = jnp.where(cont, nx2, jnp.where(can_start, init_x2, x2))
         return (new_active, new_start, new_x0, new_x1, new_x2, n_seeds, rpos, slen, k0f, freqf)
 
-    z = jnp.zeros((B,), jnp.int32)
-    zb = jnp.zeros((B,), bool)
-    zs = jnp.zeros((B, max_seeds), jnp.int32)
+    # derive the zero-init carry from the inputs so it inherits their
+    # device-varying type under shard_map (a literal zeros() carry is
+    # "unvarying" and rejected by the manual-axes check)
+    z = rlens * 0
+    zb = rlens < 0
+    zs = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
     # reads are padded with an extra column of 4s so the final active
     # extension terminates and emits inside the loop
     state = (zb, z, z, z, z, z, zs, zs, zs, zs)
