@@ -1,0 +1,1677 @@
+// kart_post.cpp — native post-seeding pipeline for kart-tpu.
+//
+// Everything downstream of the TPU seeding kernels: candidate clustering,
+// paired-end pairing + rescue, the divide (seed filters + normal-pair
+// synthesis) and conquer (8-mer repartition + Needleman-Wunsch) steps,
+// report/CIGAR/coordinate generation, SAM flags/MAPQ and record text.
+//
+// This is a fresh C++ implementation of the semantics validated in
+// kart_tpu/pipeline/*.py (which mirror the reference aligner exactly:
+// src/AlignmentCandidates.cpp, src/Mapping.cpp, src/tools.cpp,
+// src/nw_alignment.cpp, src/KmerAnalysis.cpp, src/AlignmentRescue.cpp).
+// Output is bit-identical to both.
+//
+// Exposed via a C ABI loaded with ctypes (see kart_tpu/native/post.py).
+
+#include <algorithm>
+#include <cctype>
+#include <cstdlib>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Basic tables
+// ---------------------------------------------------------------------------
+
+static uint8_t NT4[256];
+static char COMP[256];
+
+struct TableInit {
+  TableInit() {
+    memset(NT4, 4, sizeof(NT4));
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; i++) {
+      NT4[(uint8_t)b[i]] = i;
+      NT4[(uint8_t)tolower(b[i])] = i;
+    }
+    NT4[(uint8_t)'-'] = 5;
+    memset(COMP, 'N', sizeof(COMP));
+    const char* x = "ACGTacgt";
+    const char* y = "TGCATGCA";
+    for (int i = 0; i < 8; i++) COMP[(uint8_t)x[i]] = y[i];
+  }
+} table_init;
+
+// ---------------------------------------------------------------------------
+// Context
+// ---------------------------------------------------------------------------
+
+struct Ctx {
+  const uint8_t* ref_seq;  // ASCII fwd+rc text, length two_genome_size
+  int64_t two_genome_size;
+  int64_t genome_size;
+  int32_t n_chrom;
+  std::vector<std::string> chrom_names;
+  std::vector<int64_t> chrom_lens, fwd_loc, rev_loc;
+  std::vector<int64_t> chr_keys;  // sorted boundary keys
+  std::vector<int64_t> chr_vals;
+  int32_t max_gaps, max_insert_size, min_seed_len;
+  bool pacbio, multi_hit;
+  int n_threads;
+};
+
+// std::map::lower_bound equivalent over the sorted boundary keys
+static inline int chr_lower_bound(const Ctx& c, int64_t g) {
+  return (int)(std::lower_bound(c.chr_keys.begin(), c.chr_keys.end(), g) -
+               c.chr_keys.begin());
+}
+
+// ---------------------------------------------------------------------------
+// Core structs (mirror pipeline/candidates.py)
+// ---------------------------------------------------------------------------
+
+struct Seed {
+  bool simple;
+  int32_t rpos;
+  int64_t gpos;
+  int32_t rlen;
+  int32_t glen;
+  int64_t posdiff;
+};
+
+struct Cand {
+  int32_t score = 0;
+  int64_t posdiff = 0;
+  int32_t paired_idx = -1;
+  std::vector<Seed> seeds;
+};
+
+struct Coord {
+  bool bdir = true;
+  std::string cigar;
+  int64_t gpos = 0;
+  int32_t chrom_idx = 0;
+};
+
+struct Report {
+  int32_t aln_score = 0;
+  int32_t sam_flag = 0;
+  int32_t paired_idx = -1;
+  Coord coor;
+};
+
+struct ReadState {
+  const char* header;
+  int32_t header_len;
+  const uint8_t* seq;
+  const uint8_t* qual;  // may be null
+  int32_t rlen;
+  int32_t mapq = 0, score = 0, sub_score = 0, can_num = 0, best_idx = 0;
+  std::vector<Report> reports;
+};
+
+using Cigar = std::vector<std::pair<int, char>>;
+
+// ---------------------------------------------------------------------------
+// Candidate generation (pipeline/candidates.py)
+// ---------------------------------------------------------------------------
+
+static void gen_candidates_illumina(const Ctx& c, int rlen, std::vector<Seed>& seeds,
+                                    std::vector<Cand>& out) {
+  int thr = (int)(rlen * 0.2);
+  if (thr > 50) thr = 50;
+  int num = (int)seeds.size();
+  int i = 0;
+  while (i < num && seeds[i].posdiff < 0) i++;
+  while (i < num) {
+    int score = seeds[i].rlen;
+    int lb = chr_lower_bound(c, seeds[i].gpos);
+    int64_t gpos_end = lb < (int)c.chr_keys.size() ? c.chr_keys[lb] : (int64_t)1 << 62;
+    int j = i, k = i + 1;
+    for (; k < num; k++) {
+      if (seeds[k].gpos > gpos_end || (seeds[k].posdiff - seeds[j].posdiff) > c.max_gaps)
+        break;
+      score += seeds[k].rlen;
+      j = k;
+    }
+    if (score > thr) {
+      out.emplace_back();
+      Cand& cand = out.back();
+      cand.score = score;
+      cand.seeds.assign(seeds.begin() + i, seeds.begin() + k);
+      if (score - 50 > thr) thr = score - 50;
+      cand.posdiff = cand.seeds[0].posdiff;
+      if (cand.posdiff < 0) cand.posdiff = 0;
+      std::sort(cand.seeds.begin(), cand.seeds.end(), [](const Seed& a, const Seed& b) {
+        return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+      });
+    }
+    i = k;
+  }
+}
+
+static void gen_candidates_pacbio(int rlen, std::vector<Seed>& seeds,
+                                  std::vector<Cand>& out) {
+  (void)rlen;
+  int num = (int)seeds.size();
+  if (num == 0) return;
+  int thr = 0;
+  std::vector<char> taken(num, 0);
+  int start = 0;
+  while (start < num && seeds[start].posdiff < 0) start++;
+  for (int i = start; i < num; i++) {
+    if (taken[i]) continue;
+    int score = seeds[i].rlen;
+    taken[i] = 1;
+    std::vector<Seed> sel{seeds[i]};
+    int j = i;
+    for (int k = i + 1; k < num; k++) {
+      if (taken[k]) continue;
+      if (std::llabs(seeds[k].posdiff - seeds[j].posdiff) < 300) {
+        if (seeds[k].rpos > seeds[j].rpos) {
+          score += seeds[k].rlen;
+          sel.push_back(seeds[k]);
+          taken[k] = 1;
+          j = k;
+        }
+      } else if (seeds[k].gpos - seeds[j].gpos > 1000)
+        break;
+    }
+    if (score >= thr) {
+      thr = score;
+      out.emplace_back();
+      Cand& cand = out.back();
+      cand.score = score;
+      cand.posdiff = seeds[i].posdiff < 0 ? 0 : seeds[i].posdiff;
+      cand.seeds = std::move(sel);
+    }
+  }
+}
+
+static void remove_redundant(std::vector<Cand>& v, bool pacbio) {
+  if (v.size() <= 1) return;
+  int s1 = 0, s2 = 0;
+  for (auto& c : v) {
+    if (c.score > s2) {
+      if (c.score >= s1) {
+        s2 = s1;
+        s1 = c.score;
+      } else
+        s2 = c.score;
+    }
+  }
+  int thr = (pacbio || s1 == s2 || s1 - s2 > 20) ? s1 : s2;
+  for (auto& c : v)
+    if (c.score < thr) c.score = 0;
+}
+
+// ---------------------------------------------------------------------------
+// Divide step: filters + normal-pair synthesis (pipeline/candidates.py)
+// ---------------------------------------------------------------------------
+
+static void remove_null_seeds(std::vector<Seed>& v) {
+  v.erase(std::remove_if(v.begin(), v.end(), [](const Seed& s) { return s.rlen == 0; }),
+          v.end());
+}
+
+static void remove_tandem_repeats(std::vector<Seed>& v) {
+  int num = (int)v.size();
+  if (num < 2) return;
+  std::vector<int> order(num);
+  for (int i = 0; i < num; i++) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return v[a].rpos < v[b].rpos; });
+  bool found = false;
+  int i = 0;
+  while (i < num) {
+    int j = i + 1;
+    while (j < num && v[order[j]].rpos == v[order[i]].rpos) j++;
+    if (j - i > 1) {
+      found = true;
+      for (int k = i; k < j; k++) v[order[k]].rlen = v[order[k]].glen = 0;
+    }
+    i = j;
+  }
+  if (found) remove_null_seeds(v);
+}
+
+static void remove_translocated(std::vector<Seed>& v) {
+  int num = (int)v.size();
+  if (num < 2) return;
+  std::vector<std::pair<int32_t, int>> vec(num);
+  for (int i = 0; i < num; i++) vec[i] = {v[i].rpos, i};
+  std::sort(vec.begin(), vec.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  bool found = false;
+  for (int i = 0; i < num; i++) {
+    if (vec[i].first != v[i].rpos) {
+      found = true;
+      int max_idx = vec[i].second;
+      for (int jj = i + 1; jj <= max_idx; jj++)
+        if (vec[jj].second > max_idx) max_idx = vec[jj].second;
+      int j = max_idx;
+      int s1 = 0, s2 = 0;
+      for (int k = i; k <= j; k++) {
+        if (k < vec[k].second)
+          s1 += v[vec[k].second].rlen;
+        else
+          s2 += v[vec[k].second].rlen;
+      }
+      if (s1 > s2) {
+        for (int k = i; k <= j; k++)
+          if (k > vec[k].second) v[vec[k].second].rlen = v[vec[k].second].glen = 0;
+      } else {
+        for (int k = i; k <= j; k++)
+          if (k < vec[k].second) v[vec[k].second].rlen = v[vec[k].second].glen = 0;
+      }
+      i = j;
+    }
+  }
+  if (found) remove_null_seeds(v);
+}
+
+static bool check_seed_overlapping(Seed& p1, Seed& p2) {
+  bool master = true;
+  int32_t overlap = p1.rpos + p1.rlen - p2.rpos;
+  if (overlap > 0) {
+    if (p1.rlen < p2.rlen) {
+      master = false;
+      if (p1.rlen > overlap) {
+        p1.rlen -= overlap;
+        p1.glen = p1.rlen;
+      } else
+        p1.rlen = p1.glen = 0;
+    } else {
+      if (p2.rlen > overlap) {
+        p2.rpos += overlap;
+        p2.gpos += overlap;
+        p2.rlen -= overlap;
+        p2.glen = p2.rlen;
+      } else
+        p2.rlen = p2.glen = 0;
+    }
+  }
+  if (p1.rlen > 0 && p2.rlen > 0) {
+    int64_t overlap_g = p1.gpos + p1.glen - p2.gpos;
+    if (overlap_g > 0) {
+      if (p1.glen < p2.glen) {
+        master = false;
+        if (p1.rlen > overlap_g) {
+          p1.rlen -= (int32_t)overlap_g;
+          p1.glen = p1.rlen;
+        } else
+          p1.rlen = p1.glen = 0;
+      } else {
+        if (p2.rlen > overlap_g) {
+          p2.rpos += (int32_t)overlap_g;
+          p2.gpos += overlap_g;
+          p2.rlen -= (int32_t)overlap_g;
+          p2.glen = p2.rlen;
+        } else
+          p2.rlen = p2.glen = 0;
+      }
+    }
+  }
+  return master;
+}
+
+static void check_overlapping_seeds(std::vector<Seed>& v) {
+  int num = (int)v.size();
+  if (num < 2) return;
+  bool null_seed = false;
+  int i = 0;
+  while (i < num) {
+    if (v[i].rlen > 0) {
+      int32_t r_end = v[i].rpos + v[i].rlen - 1;
+      int64_t g_end = v[i].gpos + v[i].glen - 1;
+      for (int j = i + 1; j < num; j++) {
+        if (v[j].rlen == 0) continue;
+        if (r_end < v[j].rpos && g_end < v[j].gpos) break;
+        if (!check_seed_overlapping(v[i], v[j])) break;
+      }
+      if (v[i].rlen == 0) {
+        null_seed = true;
+        i -= 1;
+        while (i > 0 && v[i].rlen == 0) i--;
+        if (i < 0) i = 0;
+      } else
+        i++;
+    } else {
+      null_seed = true;
+      i++;
+    }
+  }
+  if (null_seed) remove_null_seeds(v);
+}
+
+static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) {
+  if (seeds.size() > 1) {
+    remove_tandem_repeats(seeds);
+    remove_translocated(seeds);
+    check_overlapping_seeds(seeds);
+    int num = (int)seeds.size();
+    std::vector<Seed> added;
+    for (int i = 0; i + 1 < num; i++) {
+      int j = i + 1;
+      int32_t r_gaps = seeds[j].rpos - (seeds[i].rpos + seeds[i].rlen);
+      if (r_gaps < 0) r_gaps = 0;
+      int64_t g_gaps = seeds[j].gpos - (seeds[i].gpos + seeds[i].glen);
+      if (g_gaps < 0) g_gaps = 0;
+      if (r_gaps > 0 || g_gaps > 0) {
+        int32_t rp = seeds[i].rpos + seeds[i].rlen;
+        int64_t gp = seeds[i].gpos + seeds[i].glen;
+        added.push_back({false, rp, gp, r_gaps, (int32_t)g_gaps, gp - rp});
+      }
+    }
+    if (!added.empty()) {
+      // stable merge by (gpos, rpos): equal keys keep originals first
+      seeds.insert(seeds.end(), added.begin(), added.end());
+      std::stable_sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+        return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+      });
+    }
+  }
+  if (!seeds.empty()) {
+    const Seed& s0 = seeds.front();
+    int32_t r_gaps = s0.rpos > 0 ? s0.rpos : 0;
+    int64_t g_gaps = glen > 0 ? s0.gpos : (int64_t)r_gaps;
+    if (r_gaps > 0 || g_gaps > 0) {
+      int64_t gp = s0.gpos - g_gaps;
+      if (gp < 0) gp = 0;  // gGaps unchanged (reference no-op, see python spec)
+      seeds.insert(seeds.begin(), {false, 0, gp, r_gaps, (int32_t)g_gaps, gp});
+    }
+    const Seed& sl = seeds.back();
+    r_gaps = rlen - (sl.rpos + sl.rlen);
+    int64_t g_gaps2 = glen > 0 ? (int64_t)glen - (sl.gpos + sl.glen) : (int64_t)r_gaps;
+    if (r_gaps > 0 || g_gaps2 > 0) {
+      int32_t rp = sl.rpos + sl.rlen;
+      int64_t gp = sl.gpos + sl.glen;
+      seeds.push_back({false, rp, gp, r_gaps, (int32_t)g_gaps2, gp - rp});
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Needleman-Wunsch (pipeline/conquer.py / reference nw_alignment.cpp)
+// ---------------------------------------------------------------------------
+
+static const float MAX_PENALTY = -65536.0f;
+static const float OPEN_GAP = -1.0f;
+static const float EXTEND_GAP = -0.5f;
+static const float NEW_GAP = -1.5f;
+
+static inline float fmax2(float x, float y) { return x > y ? x : y; }
+
+static void nw_alignment(std::string& s1, std::string& s2) {
+  int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
+  std::vector<float> r((size_t)m * n), t((size_t)m * n), s((size_t)m * n);
+  auto R = [&](int i, int j) -> float& { return r[(size_t)i * n + j]; };
+  auto T = [&](int i, int j) -> float& { return t[(size_t)i * n + j]; };
+  auto S = [&](int i, int j) -> float& { return s[(size_t)i * n + j]; };
+  R(0, 0) = T(0, 0) = S(0, 0) = 0;
+  for (int i = 1; i < m; i++) {
+    R(i, 0) = MAX_PENALTY;
+    S(i, 0) = T(i, 0) = OPEN_GAP + i * EXTEND_GAP;
+  }
+  for (int j = 1; j < n; j++) {
+    T(0, j) = MAX_PENALTY;
+    S(0, j) = R(0, j) = OPEN_GAP + j * EXTEND_GAP;
+  }
+  for (int i = 1; i < m; i++) {
+    uint8_t c1 = NT4[(uint8_t)s1[i - 1]];
+    for (int j = 1; j < n; j++) {
+      float rv = fmax2(R(i, j - 1) + EXTEND_GAP, S(i, j - 1) + NEW_GAP);
+      float tv = fmax2(T(i - 1, j) + EXTEND_GAP, S(i - 1, j) + NEW_GAP);
+      float sub = (c1 == NT4[(uint8_t)s2[j - 1]]) ? 1.5f : -1.5f;
+      R(i, j) = rv;
+      T(i, j) = tv;
+      S(i, j) = fmax2(fmax2(S(i - 1, j - 1) + sub, rv), tv);
+    }
+  }
+  // backtrace: prefer r, then t (nw_alignment.cpp:61-68)
+  std::string o1, o2;
+  o1.reserve(m + n);
+  o2.reserve(m + n);
+  int i = m - 1, j = n - 1;
+  while (i > 0 || j > 0) {
+    if (S(i, j) == R(i, j)) {
+      o1.push_back('-');
+      o2.push_back(s2[j - 1]);
+      j--;
+    } else if (S(i, j) == T(i, j)) {
+      o1.push_back(s1[i - 1]);
+      o2.push_back('-');
+      i--;
+    } else {
+      o1.push_back(s1[i - 1]);
+      o2.push_back(s2[j - 1]);
+      i--;
+      j--;
+    }
+  }
+  std::reverse(o1.begin(), o1.end());
+  std::reverse(o2.begin(), o2.end());
+  s1 = std::move(o1);
+  s2 = std::move(o2);
+}
+
+// ---------------------------------------------------------------------------
+// 8-mer repartition (pipeline/conquer.py / reference KmerAnalysis.cpp)
+// ---------------------------------------------------------------------------
+
+static const int KMER_SIZE = 8;
+static const uint32_t KMER_POWER = 0x3FFF;
+
+struct KmerItem {
+  uint32_t wid;
+  uint32_t pos;
+};
+
+static void create_kmer_vec(const char* seq, int len, std::vector<KmerItem>& vec) {
+  vec.clear();
+  int tail = 0, count = 0;
+  while (count < KMER_SIZE && tail < len) {
+    if (seq[tail] != 'N')
+      count++;
+    else
+      count = 0;
+    tail++;
+  }
+  if (count != KMER_SIZE) return;
+  int head = tail - KMER_SIZE;
+  uint32_t wid = 0;
+  for (int q = head; q < head + KMER_SIZE; q++) wid = (wid << 2) + NT4[(uint8_t)seq[q]];
+  vec.push_back({wid, (uint32_t)head});
+  head++;
+  while (tail < len) {
+    if (seq[tail] != 'N') {
+      wid = ((wid & KMER_POWER) << 2) + NT4[(uint8_t)seq[tail]];
+      vec.push_back({wid, (uint32_t)head});
+      head++;
+      tail++;
+    } else {
+      count = 0;
+      tail++;
+      while (count < KMER_SIZE && tail < len) {
+        if (seq[tail] != 'N')
+          count++;
+        else
+          count = 0;
+        tail++;
+      }
+      if (count == KMER_SIZE) {
+        head = tail - KMER_SIZE;
+        wid = 0;
+        for (int q = head; q < head + KMER_SIZE; q++)
+          wid = (wid << 2) + NT4[(uint8_t)seq[q]];
+        vec.push_back({wid, (uint32_t)head});
+        // reference's for-increment advances head AND tail after an
+        // N-restart, skipping one char (KmerAnalysis.cpp:74,91-95)
+        head++;
+        tail++;
+      } else
+        break;
+    }
+  }
+  std::sort(vec.begin(), vec.end(),
+            [](const KmerItem& a, const KmerItem& b) { return a.wid < b.wid; });
+}
+
+struct KmerPair {
+  int32_t posdiff;
+  uint32_t rpos, gpos;
+};
+
+static void identify_common_kmers(int max_shift, const std::vector<KmerItem>& v1,
+                                  const std::vector<KmerItem>& v2,
+                                  std::vector<KmerPair>& out) {
+  out.clear();
+  for (const auto& it : v1) {
+    auto p = std::lower_bound(
+        v2.begin(), v2.end(), it,
+        [](const KmerItem& a, const KmerItem& b) { return a.wid < b.wid; });
+    while (p != v2.end() && p->wid == it.wid) {
+      uint32_t g = p->pos, r = it.pos;
+      if ((g >= r && g - r < (uint32_t)max_shift) || (g < r && r - g < (uint32_t)max_shift))
+        out.push_back({(int32_t)(g - r), r, g});
+      ++p;
+    }
+  }
+  std::sort(out.begin(), out.end(), [](const KmerPair& a, const KmerPair& b) {
+    return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
+  });
+}
+
+static void simple_pairs_from_common_kmers(int min_seed_len,
+                                           const std::vector<KmerPair>& pairs,
+                                           std::vector<Seed>& out) {
+  out.clear();
+  int num = (int)pairs.size();
+  int i = 0;
+  while (i < num) {
+    int32_t pd = pairs[i].posdiff;
+    uint32_t n_pos = pairs[i].rpos + 1;
+    int j = i + 1;
+    while (j < num) {
+      if (pairs[j].rpos != n_pos || pairs[j].posdiff != pd) break;
+      n_pos++;
+      j++;
+    }
+    int len = KMER_SIZE + (j - 1 - i);
+    if (len >= min_seed_len)
+      out.push_back({true, (int32_t)pairs[i].rpos, (int64_t)pairs[i].gpos, len, len, pd});
+    i = j;
+  }
+}
+
+static void simple_pairs_from_fragment_pair(int max_dist, const char* f1, int l1,
+                                            const char* f2, int l2,
+                                            std::vector<Seed>& out) {
+  std::vector<KmerItem> v1, v2;
+  create_kmer_vec(f1, l1, v1);
+  create_kmer_vec(f2, l2, v2);
+  std::vector<KmerPair> pairs;
+  identify_common_kmers(max_dist, v1, v2, pairs);
+  simple_pairs_from_common_kmers(8, pairs, out);
+  std::sort(out.begin(), out.end(), [](const Seed& a, const Seed& b) {
+    return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Conquer (pipeline/conquer.py / reference tools.cpp)
+// ---------------------------------------------------------------------------
+
+static int count_mismatches(const char* a, const char* b, int len) {
+  int c = 0;
+  for (int i = 0; i < len; i++)
+    if (a[i] != b[i]) c++;
+  return c;
+}
+
+static int add_new_cigar_elements(const std::string& a1, const std::string& a2,
+                                  Cigar& cigar) {
+  char state = '*';
+  int c = 0, score = 0;
+  for (size_t i = 0; i < a1.size(); i++) {
+    char op;
+    if (a1[i] == '-')
+      op = 'D';
+    else if (a2[i] == '-')
+      op = 'I';
+    else {
+      if (a1[i] == a2[i]) score++;
+      op = 'M';
+    }
+    if (op == state)
+      c++;
+    else {
+      if (c > 0) cigar.push_back({c, state});
+      c = 1;
+      state = op;
+    }
+  }
+  if (c > 0) cigar.push_back({c, state});
+  return score;
+}
+
+static bool check_local_alignment_quality(const std::string& a1, const std::string& a2) {
+  int aln_type = -1, n = 0, mis = 0, status = 0;
+  for (size_t i = 0; i < a1.size(); i++) {
+    if (a1[i] == '-') {
+      if (aln_type != 0) {
+        aln_type = 0;
+        status++;
+      }
+    } else if (a2[i] == '-') {
+      if (aln_type != 1) {
+        aln_type = 1;
+        status++;
+      }
+    } else {
+      n++;
+      if (a1[i] != a2[i]) mis++;
+      if (aln_type != 2) {
+        aln_type = 2;
+        status++;
+      }
+    }
+  }
+  return !(status >= 4 || (mis >= 3 && mis >= (int)(n * 0.3)));
+}
+
+static void normal_pair_alignment(const Ctx& c, int rlen, std::string& frag1, int glen,
+                                  std::string& frag2) {
+  bool run_nw = true;
+  if (rlen > 30 && glen > 30) {
+    int max_shift;
+    if (c.pacbio) {
+      max_shift = rlen > glen ? (int)(rlen * 0.2) : (int)(glen * 0.2);
+      if (max_shift > 50) max_shift = 50;
+    } else
+      max_shift = c.max_gaps;
+    std::vector<Seed> parts;
+    simple_pairs_from_fragment_pair(max_shift, frag1.c_str(), rlen, frag2.c_str(), glen,
+                                    parts);
+    if (!parts.empty()) identify_normal_pairs(rlen, glen, parts);
+    if (!parts.empty()) {
+      run_nw = false;
+      std::string a1, a2;
+      for (auto& p : parts) {
+        if (p.rlen == 0 && p.glen == 0) continue;
+        if (p.glen == 0) {
+          a1.append(frag1, p.rpos, p.rlen);
+          a2.append((size_t)p.rlen, '-');
+        } else if (p.rlen == 0) {
+          a1.append((size_t)p.glen, '-');
+          a2.append(frag2, (size_t)p.gpos, p.glen);
+        } else if (p.rlen == 1 && p.glen == 1) {
+          a1.append(frag1, p.rpos, 1);
+          a2.append(frag2, (size_t)p.gpos, 1);
+        } else {
+          std::string s1 = frag1.substr(p.rpos, p.rlen);
+          std::string s2 = frag2.substr((size_t)p.gpos, p.glen);
+          if (!p.simple) {
+            if (c.pacbio && (p.rlen > 300 || p.glen > 300))
+              normal_pair_alignment(c, p.rlen, s1, p.glen, s2);
+            else
+              nw_alignment(s1, s2);
+          }
+          a1 += s1;
+          a2 += s2;
+        }
+      }
+      frag1 = std::move(a1);
+      frag2 = std::move(a2);
+    }
+  }
+  if (run_nw) nw_alignment(frag1, frag2);
+}
+
+static int process_normal(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
+  if (sp.rlen == 0 || sp.glen == 0) {
+    if (sp.rlen > 0)
+      cigar.push_back({sp.rlen, 'I'});
+    else if (sp.glen > 0)
+      cigar.push_back({sp.glen, 'D'});
+    return 0;
+  }
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
+  if (sp.rlen == sp.glen) {
+    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
+      cigar.push_back({sp.rlen, 'M'});
+      return sp.rlen - n;
+    }
+  }
+  normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
+  return add_new_cigar_elements(f1, f2, cigar);
+}
+
+static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
+  if (!c.pacbio && sp.rlen == sp.glen) {
+    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
+      cigar.push_back({sp.rlen, 'M'});
+      return sp.rlen - n;
+    }
+  }
+  if (!c.pacbio && sp.rlen > 50) {
+    cigar.push_back({sp.rlen, 'S'});
+    return 0;
+  }
+  normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
+  if (!check_local_alignment_quality(f1, f2)) {
+    cigar.push_back({sp.rlen, 'S'});
+    return 0;
+  }
+  size_t p = 0;
+  while (p < f1.size() && f1[p] == '-') p++;
+  if (p > 0) {
+    f1.erase(0, p);
+    f2.erase(0, p);
+    sp.gpos += p;
+    sp.glen -= (int32_t)p;
+  }
+  p = 0;
+  while (p < f2.size() && f2[p] == '-') p++;
+  if (p > 0) {
+    f1.erase(0, p);
+    f2.erase(0, p);
+    sp.rpos += (int32_t)p;
+    sp.rlen -= (int32_t)p;
+    cigar.push_back({(int)p, 'S'});
+  }
+  return add_new_cigar_elements(f1, f2, cigar);
+}
+
+static int process_tail(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
+  if (!c.pacbio && sp.rlen == sp.glen) {
+    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
+      cigar.push_back({sp.rlen, 'M'});
+      return sp.rlen - n;
+    }
+  }
+  if (!c.pacbio && sp.rlen > 100) {
+    cigar.push_back({sp.rlen, 'S'});
+    return 0;
+  }
+  normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
+  if (!check_local_alignment_quality(f1, f2)) {
+    cigar.push_back({sp.rlen, 'S'});
+    return 0;
+  }
+  int cc = 0;
+  int pp = (int)f1.size() - 1;
+  while (pp >= 0 && f1[pp] == '-') {
+    cc++;
+    pp--;
+  }
+  if (cc > 0) {
+    f1.resize(f1.size() - cc);
+    f2.resize(f2.size() - cc);
+    sp.glen -= cc;
+  }
+  cc = 0;
+  pp = (int)f2.size() - 1;
+  while (pp >= 0 && f2[pp] == '-') {
+    cc++;
+    pp--;
+  }
+  if (cc > 0) {
+    f1.resize(f1.size() - cc);
+    f2.resize(f2.size() - cc);
+    sp.rlen -= cc;
+  }
+  int score = add_new_cigar_elements(f1, f2, cigar);
+  if (cc > 0) cigar.push_back({cc, 'S'});
+  return score;
+}
+
+// ---------------------------------------------------------------------------
+// Report generation (pipeline/report.py)
+// ---------------------------------------------------------------------------
+
+static std::string generate_cigar_str(const Cigar& vec, bool reversed) {
+  std::string out;
+  char buf[16];
+  char state = '\0';
+  int c = 0;
+  int n = (int)vec.size();
+  for (int k = 0; k < n; k++) {
+    const auto& e = vec[reversed ? n - 1 - k : k];
+    if (e.second != state) {
+      if (c > 0) {
+        snprintf(buf, sizeof(buf), "%d%c", c, state);
+        out += buf;
+      }
+      c = e.first;
+      state = e.second;
+    } else
+      c += e.first;
+  }
+  if (c > 0) {
+    snprintf(buf, sizeof(buf), "%d%c", c, state);
+    out += buf;
+  }
+  return out;
+}
+
+static Coord gen_coordinate_info(const Ctx& ctx, bool first_read, int64_t gpos,
+                                 int64_t end_gpos, const Cigar& cigar_vec) {
+  Coord coor;
+  bool rev = false;
+  if (gpos < ctx.genome_size) {
+    coor.bdir = first_read;
+    if (ctx.n_chrom == 1) {
+      coor.chrom_idx = 0;
+      coor.gpos = gpos + 1;
+    } else {
+      int lb = chr_lower_bound(ctx, gpos);
+      coor.chrom_idx = (int32_t)ctx.chr_vals[lb];
+      coor.gpos = gpos + 1 - ctx.fwd_loc[coor.chrom_idx];
+    }
+  } else {
+    coor.bdir = !first_read;
+    rev = true;
+    if (ctx.n_chrom == 1) {
+      coor.chrom_idx = 0;
+      coor.gpos = ctx.two_genome_size - end_gpos;
+    } else {
+      int lb = chr_lower_bound(ctx, gpos);
+      coor.gpos = ctx.chr_keys[lb] - end_gpos + 1;
+      coor.chrom_idx = (int32_t)ctx.chr_vals[lb];
+    }
+  }
+  coor.cigar = generate_cigar_str(cigar_vec, rev);
+  return coor;
+}
+
+static bool check_coordinate_validity(const Ctx& ctx, const std::vector<Seed>& seeds) {
+  int64_t g1 = 0, g2 = ctx.two_genome_size;
+  for (const auto& s : seeds)
+    if (s.glen > 0) {
+      g1 = s.gpos;
+      break;
+    }
+  for (auto it = seeds.rbegin(); it != seeds.rend(); ++it)
+    if (it->glen > 0) {
+      g2 = it->gpos + it->glen - 1;
+      break;
+    }
+  if ((g1 < ctx.genome_size) != (g2 < ctx.genome_size)) return false;
+  int lb1 = chr_lower_bound(ctx, g1), lb2 = chr_lower_bound(ctx, g2);
+  int nk = (int)ctx.chr_keys.size();
+  if (lb1 >= nk || lb2 >= nk || ctx.chr_vals[lb1] != ctx.chr_vals[lb2]) return false;
+  return true;
+}
+
+static int gap_penalty(const Cigar& vec) {
+  int gp = 0;
+  for (const auto& e : vec)
+    if (e.second == 'I' || e.second == 'D') gp += e.first;
+  return gp;
+}
+
+static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
+                               std::vector<Cand>& cands) {
+  read.score = read.sub_score = read.best_idx = 0;
+  read.can_num = (int32_t)cands.size();
+  if (read.can_num > 0) {
+    read.reports.assign(read.can_num, Report());
+    for (int i = 0; i < read.can_num; i++) {
+      Report& rep = read.reports[i];
+      rep.paired_idx = cands[i].paired_idx;
+      if (cands[i].score == 0) continue;
+      if (ctx.pacbio && read.score > 0) {
+        read.sub_score = read.score;
+        continue;
+      }
+      identify_normal_pairs(read.rlen, -1, cands[i].seeds);
+      if (!check_coordinate_validity(ctx, cands[i].seeds)) continue;
+      Cigar cigar;
+      auto& seeds = cands[i].seeds;
+      int num = (int)seeds.size();
+      for (int j = 0; j < num; j++) {
+        Seed& sp = seeds[j];
+        if (sp.rlen == 0 && sp.glen == 0) continue;
+        if (sp.simple) {
+          cigar.push_back({sp.rlen, 'M'});
+          rep.aln_score += sp.rlen;
+        } else if (j == 0) {
+          if (sp.rlen > 3000) {
+            cigar.push_back({sp.rlen, 'S'});
+            sp.gpos = seeds[1].gpos;
+            sp.glen = 0;
+          } else {
+            int s = process_head(ctx, read.seq, sp, cigar);
+            rep.aln_score += s;
+            if (s == 0) {
+              sp.gpos = seeds[1].gpos;
+              sp.glen = 0;
+            }
+          }
+        } else if (j == num - 1) {
+          if (sp.rlen > 3000) {
+            cigar.push_back({sp.rlen, 'S'});
+            sp.gpos = seeds[j - 1].gpos + seeds[j - 1].glen;
+            sp.glen = 0;
+          } else {
+            int s = process_tail(ctx, read.seq, sp, cigar);
+            rep.aln_score += s;
+            if (s == 0) {
+              sp.gpos = seeds[j - 1].gpos + seeds[j - 1].glen;
+              sp.glen = 0;
+            }
+          }
+        } else
+          rep.aln_score += process_normal(ctx, read.seq, sp, cigar);
+      }
+      if (!ctx.pacbio && cigar.size() > 1) {
+        rep.aln_score -= gap_penalty(cigar);
+        if (rep.aln_score <= 0) {
+          rep.aln_score = 0;
+          continue;
+        }
+      }
+      if (cigar.empty())
+        rep.aln_score = 0;
+      else {
+        rep.coor = gen_coordinate_info(ctx, first_read, seeds[0].gpos,
+                                       seeds[num - 1].gpos + seeds[num - 1].glen - 1,
+                                       cigar);
+        if (rep.coor.gpos <= 0) rep.aln_score = 0;
+      }
+      if (rep.aln_score > read.score) {
+        read.best_idx = i;
+        read.sub_score = read.score;
+        read.score = rep.aln_score;
+      } else if (rep.aln_score == read.score) {
+        read.sub_score = read.score;
+        if (!ctx.multi_hit && read.score > 0 &&
+            ctx.chrom_lens[rep.coor.chrom_idx] >
+                ctx.chrom_lens[read.reports[read.best_idx].coor.chrom_idx])
+          read.best_idx = i;
+      }
+    }
+  } else {
+    read.can_num = 1;
+    read.best_idx = 0;
+    read.reports.assign(1, Report());
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Pairing + rescue (pipeline/pairing.py)
+// ---------------------------------------------------------------------------
+
+static bool check_paired_candidates(const Ctx& ctx, int64_t est, std::vector<Cand>& v1,
+                                    std::vector<Cand>& v2) {
+  int num1 = (int)v1.size(), num2 = (int)v2.size();
+  if ((int64_t)num1 * num2 > 1000) {
+    remove_redundant(v1, false);
+    remove_redundant(v2, false);
+  }
+  bool pairing = false;
+  for (int i = 0; i < num1; i++) {
+    if (v1[i].score == 0) continue;
+    int best_mate = -1, s = 0;
+    for (int j = 0; j < num2; j++) {
+      if (v2[j].score == 0 || v2[j].posdiff < v1[i].posdiff) continue;
+      int64_t dist = v2[j].posdiff - v1[i].posdiff;
+      if (dist < est) {
+        if (v2[j].score > s) {
+          best_mate = j;
+          s = v2[j].score;
+        } else if (v2[j].score == s)
+          best_mate = -1;
+      }
+    }
+    if (s > 0 && best_mate != -1) {
+      int j = best_mate;
+      if (v2[j].paired_idx == -1) {
+        pairing = true;
+        v1[i].paired_idx = j;
+        v2[j].paired_idx = i;
+      } else if (v1[i].score > v1[v2[j].paired_idx].score) {
+        v1[v2[j].paired_idx].paired_idx = -1;
+        v1[i].paired_idx = j;
+        v2[j].paired_idx = i;
+      }
+    }
+  }
+  return pairing;
+}
+
+static void remove_unmated(std::vector<Cand>& v1, std::vector<Cand>& v2) {
+  for (auto& c1 : v1) {
+    if (c1.paired_idx == -1)
+      c1.score = 0;
+    else {
+      Cand& c2 = v2[c1.paired_idx];
+      c1.score = c2.score = c1.score + c2.score;
+    }
+  }
+  for (auto& c2 : v2)
+    if (c2.paired_idx == -1) c2.score = 0;
+}
+
+static void check_paired_final(const Ctx& ctx, ReadState& r1, ReadState& r2) {
+  bool mated = false;
+  if (r1.best_idx != -1 && r2.best_idx != -1)
+    mated = r1.reports[r1.best_idx].paired_idx == r2.best_idx;
+  if (!ctx.multi_hit && mated) return;
+  if (!mated && r1.score > 0 && r2.score > 0) {
+    int s = 0;
+    for (int i = 0; i < r1.can_num; i++) {
+      int j = r1.reports[i].paired_idx;
+      if (r1.reports[i].aln_score > 0 && j != -1 && r2.reports[j].aln_score > 0) {
+        mated = true;
+        int tot = r1.reports[i].aln_score + r2.reports[j].aln_score;
+        if (s < tot) {
+          s = tot;
+          r1.best_idx = i;
+          r1.score = r1.reports[i].aln_score;
+          r2.best_idx = j;
+          r2.score = r2.reports[j].aln_score;
+        }
+      }
+    }
+  }
+  if (mated) {
+    for (int i = 0; i < r1.can_num; i++) {
+      Report& rep = r1.reports[i];
+      int j = rep.paired_idx;
+      if (rep.aln_score != r1.score ||
+          (j != -1 && r2.reports[j].aln_score != r2.score)) {
+        rep.aln_score = 0;
+        rep.paired_idx = -1;
+      }
+    }
+  } else {
+    for (auto& rep : r1.reports) {
+      rep.paired_idx = -1;
+      if (rep.aln_score > 0 && rep.aln_score != r1.score) rep.aln_score = 0;
+    }
+    for (auto& rep : r2.reports) {
+      rep.paired_idx = -1;
+      if (rep.aln_score > 0 && rep.aln_score != r2.score) rep.aln_score = 0;
+    }
+  }
+}
+
+static int max_cand_score(const std::vector<Cand>& v) {
+  int s = 0;
+  for (const auto& c : v)
+    if (c.score > s) s = c.score;
+  return s;
+}
+
+static Cand identify_rescue_candidate(const Ctx& ctx, int64_t gpos,
+                                      std::vector<Seed>& seeds) {
+  Cand cand;
+  int num = (int)seeds.size();
+  int i = 0;
+  while (i < num) {
+    seeds[i].gpos += gpos;
+    int s = seeds[i].rlen;
+    int first = i;
+    int j = i + 1;
+    while (j < num) {
+      if (seeds[j].posdiff - seeds[first].posdiff < ctx.max_gaps) {
+        seeds[j].gpos += gpos;
+        s += seeds[j].rlen;
+        j++;
+      } else
+        break;
+    }
+    if (s > cand.score) {
+      cand.score = s;
+      cand.posdiff = seeds[first].posdiff + gpos;
+      cand.seeds.assign(seeds.begin() + first, seeds.begin() + j);
+    }
+    i = j;
+  }
+  std::sort(cand.seeds.begin(), cand.seeds.end(), [](const Seed& a, const Seed& b) {
+    return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+  });
+  for (auto& sp : cand.seeds) sp.posdiff += gpos;
+  return cand;
+}
+
+static bool rescue_unpaired(const Ctx& ctx, int64_t est, ReadState& r1, ReadState& r2,
+                            std::vector<Cand>& v1, std::vector<Cand>& v2) {
+  int score1 = max_cand_score(v1);
+  int score2 = max_cand_score(v2);
+  if (score1 == 0 && score2 == 0) return false;
+  int strategy;
+  if (score1 < (int)(r1.rlen * 0.1) && score2 < (int)(r2.rlen * 0.1))
+    strategy = 4;
+  else if (score1 > score2 && score1 - score2 > 50)
+    strategy = 1;
+  else if (score2 > score1 && score2 - score1 > 50)
+    strategy = 2;
+  else
+    strategy = 3;
+  if (est > ctx.max_insert_size) est = ctx.max_insert_size;
+  bool mated = false;
+  int num1 = (int)v1.size(), num2 = (int)v2.size();
+
+  std::vector<KmerItem> kvec1, kvec2;
+  std::vector<KmerPair> pairs;
+  std::vector<Seed> simple;
+
+  if (strategy == 1 || strategy == 3) {
+    int thr = std::max(score1 - 30, 50);
+    create_kmer_vec((const char*)r2.seq, r2.rlen, kvec1);
+    int j = num2;
+    for (int i = 0; i < num1; i++) {
+      if (v1[i].score < thr) continue;
+      int64_t left = v1[i].posdiff;
+      int64_t right = v1[i].posdiff + est + r2.rlen;
+      int lb = chr_lower_bound(ctx, left);
+      int chr_id = lb < (int)ctx.chr_vals.size() ? (int)ctx.chr_vals[lb] : 0;
+      int64_t fwd = ctx.fwd_loc[chr_id], rev = ctx.rev_loc[chr_id];
+      if (right < ctx.genome_size && right > fwd)
+        right = fwd - 1;
+      else if (right >= ctx.genome_size && right > rev)
+        right = rev - 1;
+      int64_t slen = right - left;
+      if (slen < r2.rlen) continue;
+      create_kmer_vec((const char*)ctx.ref_seq + left, (int)slen, kvec2);
+      identify_common_kmers((int)slen, kvec1, kvec2, pairs);
+      simple_pairs_from_common_kmers(10, pairs, simple);
+      Cand cand = identify_rescue_candidate(ctx, left, simple);
+      if (cand.score > score2) {
+        mated = true;
+        cand.paired_idx = i;
+        v1[i].paired_idx = j++;
+        v2.push_back(std::move(cand));
+      }
+    }
+  }
+  if (strategy == 2 || strategy == 3) {
+    int thr = std::max(max_cand_score(v2) - 30, 50);
+    // NOTE: reference computes the anchor threshold over the (possibly
+    // grown) AlignmentVec2 — but strategy 3 ran the v1 loop first; the
+    // reference calls DetermineAnchorThreshold(AlignmentVec2) after
+    // rescue candidates may have been appended, so recompute from
+    // current v2 (matches AlignmentRescue.cpp:137).
+    create_kmer_vec((const char*)r1.seq, r1.rlen, kvec1);
+    int i = num1;
+    for (int j2 = 0; j2 < num2; j2++) {
+      if (v2[j2].score < thr) continue;
+      int64_t left = v2[j2].posdiff - est;
+      int64_t right = v2[j2].posdiff + r2.rlen;
+      int lb = chr_lower_bound(ctx, right);
+      int chr_id = lb < (int)ctx.chr_vals.size() ? (int)ctx.chr_vals[lb] : 0;
+      int64_t fwd = ctx.fwd_loc[chr_id], rev = ctx.rev_loc[chr_id];
+      int64_t cl = ctx.chrom_lens[chr_id];
+      if (left < ctx.genome_size && left < fwd - cl)
+        left = fwd - cl + 1;
+      else if (right >= ctx.genome_size && left < rev - cl)
+        left = rev - cl + 1;
+      int64_t slen = right - left;
+      if (slen < r1.rlen) continue;
+      create_kmer_vec((const char*)ctx.ref_seq + left, (int)slen, kvec2);
+      identify_common_kmers((int)slen, kvec1, kvec2, pairs);
+      simple_pairs_from_common_kmers(10, pairs, simple);
+      Cand cand = identify_rescue_candidate(ctx, left, simple);
+      if (cand.score > score1) {
+        mated = true;
+        cand.paired_idx = j2;
+        v2[j2].paired_idx = i++;
+        v1.push_back(std::move(cand));
+      }
+    }
+  }
+  return mated;
+}
+
+// ---------------------------------------------------------------------------
+// Flags / MAPQ / SAM output (pipeline/sam.py)
+// ---------------------------------------------------------------------------
+
+static const int MAPQ_COEF = 30;
+static const int MAX_MAPQ = 60;
+
+static void set_single_flag(ReadState& r) {
+  if (r.score > r.sub_score) {
+    Report& rep = r.reports[r.best_idx];
+    rep.sam_flag = rep.coor.bdir ? 0 : 0x10;
+  } else if (r.score > 0) {
+    for (auto& rep : r.reports)
+      if (rep.aln_score > 0) rep.sam_flag = rep.coor.bdir ? 0 : 0x10;
+  } else
+    r.reports[0].sam_flag = 0x4;
+}
+
+static void set_paired_flags(ReadState& r1, ReadState& r2) {
+  if (r1.score > r1.sub_score && r2.score > r2.sub_score) {
+    Report& a = r1.reports[r1.best_idx];
+    Report& b = r2.reports[r2.best_idx];
+    a.sam_flag = 0x41;
+    b.sam_flag = 0x81;
+    if (r2.best_idx == a.paired_idx) {
+      a.sam_flag |= 0x2;
+      b.sam_flag |= 0x2;
+    }
+    a.sam_flag |= a.coor.bdir ? 0x20 : 0x10;
+    b.sam_flag |= b.coor.bdir ? 0x20 : 0x10;
+    return;
+  }
+  if (r1.score > r1.sub_score) {
+    Report& a = r1.reports[r1.best_idx];
+    a.sam_flag = 0x41 | (a.coor.bdir ? 0x20 : 0x10);
+    int j = a.paired_idx;
+    if (j != -1 && r2.reports[j].aln_score > 0)
+      a.sam_flag |= 0x2;
+    else
+      a.sam_flag |= 0x8;
+  } else if (r1.score > 0) {
+    for (auto& a : r1.reports)
+      if (a.aln_score > 0) {
+        a.sam_flag = 0x41 | (a.coor.bdir ? 0x20 : 0x10);
+        int j = a.paired_idx;
+        if (j != -1 && r2.reports[j].aln_score > 0)
+          a.sam_flag |= 0x2;
+        else
+          a.sam_flag |= 0x8;
+      }
+  } else {
+    Report& a = r1.reports[0];
+    a.sam_flag = 0x41 | 0x4;
+    if (r2.score == 0)
+      a.sam_flag |= 0x8;
+    else
+      a.sam_flag |= r2.reports[r2.best_idx].coor.bdir ? 0x10 : 0x20;
+  }
+  if (r2.score > r2.sub_score) {
+    Report& b = r2.reports[r2.best_idx];
+    b.sam_flag = 0x81 | (b.coor.bdir ? 0x20 : 0x10);
+    int i = b.paired_idx;
+    if (i != -1 && r1.reports[i].aln_score > 0)
+      b.sam_flag |= 0x2;
+    else
+      b.sam_flag |= 0x8;
+  } else if (r2.score > 0) {
+    for (auto& b : r2.reports)
+      if (b.aln_score > 0) {
+        b.sam_flag = 0x81 | (b.coor.bdir ? 0x20 : 0x10);
+        int i = b.paired_idx;
+        if (i != -1 && r1.reports[i].aln_score > 0)
+          b.sam_flag |= 0x2;
+        else
+          b.sam_flag |= 0x8;
+      }
+  } else {
+    Report& b = r2.reports[0];
+    b.sam_flag = 0x81 | 0x4;
+    if (r1.score == 0)
+      b.sam_flag |= 0x8;
+    else
+      b.sam_flag |= r1.reports[r1.best_idx].coor.bdir ? 0x10 : 0x20;
+  }
+}
+
+static void evaluate_mapq(const Ctx& ctx, ReadState& r) {
+  if (r.score == 0 || r.score == r.sub_score) {
+    r.mapq = 0;
+    return;
+  }
+  if (ctx.pacbio) {
+    double f_scale = 85.0 * (int)(ceil(r.rlen / 100 + 0.5));
+    if (f_scale > 2000) f_scale = 2000;
+    r.mapq = (int)(MAX_MAPQ * (r.score / f_scale));
+  } else if (r.sub_score == 0 || r.score - r.sub_score > 5)
+    r.mapq = MAX_MAPQ;
+  else
+    r.mapq = (int)(MAPQ_COEF * (1 - (float)(r.score - r.sub_score) / r.score) *
+                       log(r.score) +
+                   0.4999);
+  if (r.mapq > MAX_MAPQ) r.mapq = MAX_MAPQ;
+}
+
+struct OutStats {
+  int64_t unique = 0, unmapped = 0, paired = 0, distance = 0;
+};
+
+static void revcomp_into(const uint8_t* seq, int len, std::string& out) {
+  out.resize(len);
+  for (int i = 0; i < len; i++) out[i] = COMP[seq[len - 1 - i]];
+}
+
+static void append_record(std::string& out, const ReadState& r, const Report& rep,
+                          const Ctx& ctx, const char* seq_s, const char* qual_s,
+                          const char* rnext, int64_t pnext, int64_t tlen) {
+  char buf[256];
+  out.append(r.header, r.header_len);
+  snprintf(buf, sizeof(buf), "\t%d\t", rep.sam_flag);
+  out += buf;
+  out += ctx.chrom_names[rep.coor.chrom_idx];
+  snprintf(buf, sizeof(buf), "\t%lld\t%d\t", (long long)rep.coor.gpos, r.mapq);
+  out += buf;
+  out += rep.coor.cigar;
+  out += '\t';
+  out += rnext;
+  snprintf(buf, sizeof(buf), "\t%lld\t%lld\t", (long long)pnext, (long long)tlen);
+  out += buf;
+  out += seq_s;
+  out += '\t';
+  out += qual_s;
+  snprintf(buf, sizeof(buf), "\tNM:i:%d\tAS:i:%d\tXS:i:%d\n", r.rlen - r.score, r.score,
+           r.sub_score);
+  out += buf;
+}
+
+static void append_unmapped(std::string& out, const ReadState& r) {
+  char buf[64];
+  out.append(r.header, r.header_len);
+  snprintf(buf, sizeof(buf), "\t%d\t*\t0\t0\t*\t*\t0\t0\t", r.reports[0].sam_flag);
+  out += buf;
+  out.append((const char*)r.seq, r.rlen);
+  out += '\t';
+  if (r.qual)
+    out.append((const char*)r.qual, r.rlen);
+  else
+    out += '*';
+  out += "\tAS:i:0\tXS:i:0\n";
+}
+
+static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st,
+                          std::string& out) {
+  if (r.score == 0) {
+    st.unmapped++;
+    append_unmapped(out, r);
+    return;
+  }
+  if (r.mapq == MAX_MAPQ) st.unique++;
+  std::string fwd((const char*)r.seq, r.rlen);
+  std::string qual = (fastq && r.qual) ? std::string((const char*)r.qual, r.rlen) : "*";
+  std::string rseq, rqual;
+  bool have_rev = false;
+  for (int i = r.best_idx; i < r.can_num; i++) {
+    Report& rep = r.reports[i];
+    if (rep.aln_score == r.score) {
+      if (!rep.coor.bdir && !have_rev) {
+        revcomp_into(r.seq, r.rlen, rseq);
+        rqual = qual;
+        if (fastq) std::reverse(rqual.begin(), rqual.end());
+        have_rev = true;
+      }
+      const char* sq = rep.coor.bdir ? fwd.c_str() : rseq.c_str();
+      const char* ql = fastq ? (rep.coor.bdir ? qual.c_str() : rqual.c_str()) : "*";
+      append_record(out, r, rep, ctx, sq, ql, "*", 0, 0);
+      if (!ctx.multi_hit) break;
+    }
+  }
+}
+
+static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fastq,
+                          OutStats& st, std::string& out) {
+  // read 1
+  if (r1.score == 0) {
+    st.unmapped++;
+    append_unmapped(out, r1);
+  } else {
+    if (r1.mapq == MAX_MAPQ) st.unique++;
+    std::string fwd((const char*)r1.seq, r1.rlen);
+    std::string qual =
+        (fastq && r1.qual) ? std::string((const char*)r1.qual, r1.rlen) : "*";
+    std::string rseq, rqual;
+    bool have_rev = false;
+    for (int i = r1.best_idx; i < r1.can_num; i++) {
+      Report& rep = r1.reports[i];
+      if (rep.aln_score > 0) {
+        if (!rep.coor.bdir && !have_rev) {
+          revcomp_into(r1.seq, r1.rlen, rseq);
+          rqual = qual;
+          if (fastq) std::reverse(rqual.begin(), rqual.end());
+          have_rev = true;
+        }
+        const char* sq = rep.coor.bdir ? fwd.c_str() : rseq.c_str();
+        const char* ql = fastq ? (rep.coor.bdir ? qual.c_str() : rqual.c_str()) : "*";
+        int j = rep.paired_idx;
+        if (j != -1 && r2.reports[j].aln_score > 0) {
+          int64_t dist = r2.reports[j].coor.gpos - rep.coor.gpos +
+                         (rep.coor.bdir ? r2.rlen : -r1.rlen);
+          if (i == r1.best_idx) {
+            st.paired += 2;
+            if (llabs(dist) < 10000) st.distance += llabs(dist);
+          }
+          append_record(out, r1, rep, ctx, sq, ql, "=", r2.reports[j].coor.gpos, dist);
+        } else
+          append_record(out, r1, rep, ctx, sq, ql, "*", 0, 0);
+      }
+      if (!ctx.multi_hit) break;
+    }
+  }
+  // read 2 (stored reverse-complemented)
+  if (r2.score == 0) {
+    st.unmapped++;
+    append_unmapped(out, r2);
+  } else {
+    if (r2.mapq == MAX_MAPQ) st.unique++;
+    std::string stored((const char*)r2.seq, r2.rlen);
+    std::string qual =
+        (fastq && r2.qual) ? std::string((const char*)r2.qual, r2.rlen) : "*";
+    std::string orig, rqual;
+    bool have_fwd = false;
+    for (int j = r2.best_idx; j < r2.can_num; j++) {
+      Report& rep = r2.reports[j];
+      if (rep.aln_score > 0) {
+        if (rep.coor.bdir && !have_fwd) {
+          revcomp_into(r2.seq, r2.rlen, orig);
+          rqual = qual;
+          if (fastq) std::reverse(rqual.begin(), rqual.end());
+          have_fwd = true;
+        }
+        const char* sq = rep.coor.bdir ? orig.c_str() : stored.c_str();
+        const char* ql = fastq ? (rep.coor.bdir ? rqual.c_str() : qual.c_str()) : "*";
+        int i = rep.paired_idx;
+        if (i != -1 && r1.reports[i].aln_score > 0) {
+          int64_t dist = -(rep.coor.gpos - r1.reports[i].coor.gpos +
+                           (r1.reports[i].coor.bdir ? r2.rlen : -r1.rlen));
+          append_record(out, r2, rep, ctx, sq, ql, "=", r1.reports[i].coor.gpos, dist);
+        } else
+          append_record(out, r2, rep, ctx, sq, ql, "*", 0, 0);
+      }
+      if (!ctx.multi_hit) break;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Chunk driver
+// ---------------------------------------------------------------------------
+
+struct ChunkIn {
+  int32_t n_reads;
+  bool pair_end, fastq;
+  const uint8_t* seq_concat;
+  const int64_t* seq_off;
+  const uint8_t* qual_concat;
+  const int64_t* qual_off;
+  const char* header_concat;
+  const int64_t* header_off;
+  const int32_t* seed_cnt;
+  const int32_t* seed_rpos;
+  const int32_t* seed_len;
+  const int64_t* seed_gpos;
+};
+
+static void make_read_state(const ChunkIn& in, int i, ReadState& r) {
+  r.header = in.header_concat + in.header_off[i];
+  r.header_len = (int32_t)(in.header_off[i + 1] - in.header_off[i]);
+  r.seq = in.seq_concat + in.seq_off[i];
+  r.rlen = (int32_t)(in.seq_off[i + 1] - in.seq_off[i]);
+  r.qual = in.qual_concat ? in.qual_concat + in.qual_off[i] : nullptr;
+}
+
+// Build PosDiff-sorted (Illumina) or gPos-sorted (PacBio) seed vector for
+// read i from the flat seed arrays.
+static void collect_seeds(const Ctx& ctx, const ChunkIn& in, int i, int64_t base,
+                          std::vector<Seed>& seeds) {
+  seeds.clear();
+  int cnt = in.seed_cnt[i];
+  seeds.reserve(cnt);
+  for (int k = 0; k < cnt; k++) {
+    int64_t idx = base + k;
+    int32_t rp = in.seed_rpos[idx];
+    int64_t gp = in.seed_gpos[idx];
+    int32_t ln = in.seed_len[idx];
+    seeds.push_back({true, rp, gp, ln, ln, gp - rp});
+  }
+  if (ctx.pacbio)
+    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+    });
+  else
+    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
+    });
+}
+
+static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
+                               const std::vector<int64_t>& seed_base, int64_t est,
+                               int lo, int hi, std::vector<ReadState>& states) {
+  std::vector<Seed> seeds1, seeds2;
+  for (int i = lo; i < hi; i += 2) {
+    int j = i + 1;
+    ReadState& st1 = states[i];
+    ReadState& st2 = states[j];
+    collect_seeds(ctx, in, i, seed_base[i], seeds1);
+    collect_seeds(ctx, in, j, seed_base[j], seeds2);
+    std::vector<Cand> cands1, cands2;
+    gen_candidates_illumina(ctx, st1.rlen, seeds1, cands1);
+    gen_candidates_illumina(ctx, st2.rlen, seeds2, cands2);
+    bool pairing = check_paired_candidates(ctx, est, cands1, cands2);
+    if (!pairing) pairing = rescue_unpaired(ctx, est, st1, st2, cands1, cands2);
+    if (pairing) remove_unmated(cands1, cands2);
+    remove_redundant(cands1, false);
+    remove_redundant(cands2, false);
+    gen_mapping_report(ctx, true, st1, cands1);
+    gen_mapping_report(ctx, false, st2, cands2);
+    check_paired_final(ctx, st1, st2);
+    set_paired_flags(st1, st2);
+    evaluate_mapq(ctx, st1);
+    evaluate_mapq(ctx, st2);
+  }
+}
+
+static void process_single_range(const Ctx& ctx, const ChunkIn& in,
+                                 const std::vector<int64_t>& seed_base, int lo, int hi,
+                                 std::vector<ReadState>& states) {
+  std::vector<Seed> seeds;
+  for (int i = lo; i < hi; i++) {
+    ReadState& st = states[i];
+    collect_seeds(ctx, in, i, seed_base[i], seeds);
+    std::vector<Cand> cands;
+    if (ctx.pacbio) {
+      gen_candidates_pacbio(st.rlen, seeds, cands);
+      remove_redundant(cands, true);
+    } else {
+      gen_candidates_illumina(ctx, st.rlen, seeds, cands);
+      remove_redundant(cands, false);
+    }
+    gen_mapping_report(ctx, true, st, cands);
+    set_single_flag(st);
+    evaluate_mapq(ctx, st);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* kart_ctx_create(const uint8_t* ref_seq, int64_t two_genome_size,
+                      int64_t genome_size, int32_t n_chrom,
+                      const char* chrom_names_concat, const int64_t* chrom_name_off,
+                      const int64_t* chrom_lens, const int64_t* fwd_loc,
+                      const int64_t* rev_loc, const int64_t* chr_keys,
+                      const int64_t* chr_vals, int32_t n_keys, int32_t max_gaps,
+                      int32_t max_insert_size, int32_t min_seed_len, int32_t pacbio,
+                      int32_t multi_hit, int32_t n_threads) {
+  Ctx* c = new Ctx();
+  c->ref_seq = ref_seq;
+  c->two_genome_size = two_genome_size;
+  c->genome_size = genome_size;
+  c->n_chrom = n_chrom;
+  for (int i = 0; i < n_chrom; i++)
+    c->chrom_names.emplace_back(chrom_names_concat + chrom_name_off[i],
+                                chrom_name_off[i + 1] - chrom_name_off[i]);
+  c->chrom_lens.assign(chrom_lens, chrom_lens + n_chrom);
+  c->fwd_loc.assign(fwd_loc, fwd_loc + n_chrom);
+  c->rev_loc.assign(rev_loc, rev_loc + n_chrom);
+  c->chr_keys.assign(chr_keys, chr_keys + n_keys);
+  c->chr_vals.assign(chr_vals, chr_vals + n_keys);
+  c->max_gaps = max_gaps;
+  c->max_insert_size = max_insert_size;
+  c->min_seed_len = min_seed_len;
+  c->pacbio = pacbio != 0;
+  c->multi_hit = multi_hit != 0;
+  c->n_threads = n_threads > 0 ? n_threads : 1;
+  return c;
+}
+
+void kart_ctx_destroy(void* ctx) { delete (Ctx*)ctx; }
+
+// stats layout: [0]=paired, [1]=distance, [2]=unique, [3]=unmapped (in/out)
+int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
+                           int32_t fastq, const uint8_t* seq_concat,
+                           const int64_t* seq_off, const uint8_t* qual_concat,
+                           const int64_t* qual_off, const char* header_concat,
+                           const int64_t* header_off, const int32_t* seed_cnt,
+                           const int32_t* seed_rpos, const int32_t* seed_len,
+                           const int64_t* seed_gpos, int64_t* stats, char** sam_out) {
+  Ctx& ctx = *(Ctx*)vctx;
+  ChunkIn in{n_reads,      pair_end != 0, fastq != 0, seq_concat,  seq_off,
+             qual_concat,  qual_off,      header_concat, header_off, seed_cnt,
+             seed_rpos,    seed_len,      seed_gpos};
+
+  std::vector<int64_t> seed_base(n_reads);
+  int64_t acc = 0;
+  for (int i = 0; i < n_reads; i++) {
+    seed_base[i] = acc;
+    acc += seed_cnt[i];
+  }
+  std::vector<ReadState> states(n_reads);
+  for (int i = 0; i < n_reads; i++) make_read_state(in, i, states[i]);
+
+  bool do_pairs = in.pair_end && n_reads % 2 == 0 && !ctx.pacbio;
+  int64_t est = 0;
+  if (do_pairs) {
+    // EstDistance from running stats (Mapping.cpp:533-540)
+    if (stats[0] >= 1000) {
+      est = stats[1] / (stats[0] >> 2);
+      est = est + (est >> 1);
+    } else
+      est = ctx.max_insert_size;
+  }
+
+  int nt = ctx.n_threads;
+  if (nt > 1 && n_reads >= 64) {
+    std::vector<std::thread> threads;
+    int unit = do_pairs ? 2 : 1;
+    int n_units = n_reads / unit;
+    int per = (n_units + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int lo = t * per * unit;
+      int hi = std::min((int64_t)(t + 1) * per * unit, (int64_t)n_reads);
+      if (lo >= hi) break;
+      threads.emplace_back([&, lo, hi]() {
+        if (do_pairs)
+          process_pair_range(ctx, in, seed_base, est, lo, hi, states);
+        else
+          process_single_range(ctx, in, seed_base, lo, hi, states);
+      });
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    if (do_pairs)
+      process_pair_range(ctx, in, seed_base, est, 0, n_reads, states);
+    else
+      process_single_range(ctx, in, seed_base, 0, n_reads, states);
+  }
+
+  OutStats st;
+  std::string out;
+  out.reserve((size_t)n_reads * 200);
+  if (do_pairs)
+    for (int i = 0; i < n_reads; i += 2)
+      output_paired(ctx, states[i], states[i + 1], in.fastq, st, out);
+  else
+    for (int i = 0; i < n_reads; i++) output_single(ctx, states[i], in.fastq, st, out);
+
+  stats[0] += st.paired;
+  stats[1] += st.distance;
+  stats[2] += st.unique;
+  stats[3] += st.unmapped;
+
+  char* buf = (char*)malloc(out.size() + 1);
+  memcpy(buf, out.data(), out.size());
+  buf[out.size()] = '\0';
+  *sam_out = buf;
+  return (int64_t)out.size();
+}
+
+void kart_free(char* p) { free(p); }
+
+}  // extern "C"

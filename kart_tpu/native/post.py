@@ -1,0 +1,185 @@
+"""ctypes binding for the native post-seeding pipeline (kart_post.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "_build")
+_LIB = None
+_LIB_TRIED = False
+
+
+def _compile_lib() -> str | None:
+    src = os.path.join(_NATIVE_DIR, "kart_post.cpp")
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    out = os.path.join(_BUILD_DIR, "libkartpost.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    tmp = tempfile.mktemp(suffix=".so", dir=_BUILD_DIR)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+        return out
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def load_postlib():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _compile_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kart_ctx_create.restype = ctypes.c_void_p
+    lib.kart_ctx_create.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_char_p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.kart_ctx_destroy.argtypes = [ctypes.c_void_p]
+    lib.kart_process_chunk.restype = ctypes.c_int64
+    lib.kart_process_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i8p, i64p, i8p, i64p, ctypes.c_char_p, i64p,
+        i32p, i32p, i32p, i64p, i64p,
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.kart_free.argtypes = [ctypes.c_char_p]
+    _LIB = lib
+    return _LIB
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativePostProcessor:
+    """Owns a native context bound to one genome index + mapping options."""
+
+    def __init__(self, gidx, pacbio, max_gaps, max_insert_size, min_seed_len,
+                 multi_hit, n_threads=0):
+        self.lib = load_postlib()
+        if self.lib is None:
+            raise RuntimeError("native postprocess library unavailable")
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        # keep referenced arrays alive for the context lifetime
+        self._ref_seq = np.ascontiguousarray(gidx.ref_seq)
+        names = [n.encode() for n in gidx.raw.chrom_names]
+        self._names_concat = b"".join(names)
+        off = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(n) for n in names], out=off[1:])
+        self._name_off = off
+        self._chrom_lens = np.ascontiguousarray(gidx.raw.chrom_lens, dtype=np.int64)
+        self._fwd_loc = np.ascontiguousarray(gidx.chrom_fwd_loc, dtype=np.int64)
+        self._rev_loc = np.ascontiguousarray(gidx.chrom_rev_loc, dtype=np.int64)
+        keys, vals = gidx.chr_map
+        self._keys = np.ascontiguousarray(keys, dtype=np.int64)
+        self._vals = np.ascontiguousarray(vals, dtype=np.int64)
+        self.ctx = self.lib.kart_ctx_create(
+            _u8p(self._ref_seq),
+            ctypes.c_int64(gidx.two_genome_size),
+            ctypes.c_int64(gidx.genome_size),
+            ctypes.c_int32(gidx.n_chrom),
+            ctypes.c_char_p(self._names_concat),
+            _i64p(self._name_off),
+            _i64p(self._chrom_lens),
+            _i64p(self._fwd_loc),
+            _i64p(self._rev_loc),
+            _i64p(self._keys),
+            _i64p(self._vals),
+            ctypes.c_int32(len(self._keys)),
+            ctypes.c_int32(max_gaps),
+            ctypes.c_int32(max_insert_size),
+            ctypes.c_int32(min_seed_len),
+            ctypes.c_int32(1 if pacbio else 0),
+            ctypes.c_int32(1 if multi_hit else 0),
+            ctypes.c_int32(n_threads),
+        )
+
+    def __del__(self):
+        if getattr(self, "ctx", None) and self.lib is not None:
+            self.lib.kart_ctx_destroy(self.ctx)
+            self.ctx = None
+
+    def process_chunk(self, chunk, pair_end, fastq, seed_cnt, seed_rpos, seed_len,
+                      seed_gpos, stats):
+        """chunk: list[RawRead]; seed arrays flat per read (counts in
+        seed_cnt); stats dict mutated in place; returns SAM text str."""
+        n = len(chunk)
+        seq_concat = b"".join(r.seq for r in chunk)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([r.rlen for r in chunk], out=seq_off[1:])
+        if fastq and chunk[0].qual is not None:
+            qual_concat = b"".join(r.qual for r in chunk)
+            qual_arr = np.frombuffer(qual_concat, dtype=np.uint8)
+            qual_ptr = _u8p(qual_arr)
+            qual_off = seq_off
+            qual_off_ptr = _i64p(qual_off)
+        else:
+            qual_arr = None
+            qual_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+            qual_off_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_int64))
+        headers = [r.header.encode() for r in chunk]
+        header_concat = b"".join(headers)
+        header_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(h) for h in headers], out=header_off[1:])
+
+        seq_arr = np.frombuffer(seq_concat, dtype=np.uint8)
+        seed_cnt = np.ascontiguousarray(seed_cnt, dtype=np.int32)
+        seed_rpos = np.ascontiguousarray(seed_rpos, dtype=np.int32)
+        seed_len = np.ascontiguousarray(seed_len, dtype=np.int32)
+        seed_gpos = np.ascontiguousarray(seed_gpos, dtype=np.int64)
+
+        st = np.array(
+            [stats["paired"], stats["distance"], stats["unique"], stats["unmapped"]],
+            dtype=np.int64,
+        )
+        out = ctypes.c_char_p()
+        size = self.lib.kart_process_chunk(
+            self.ctx,
+            ctypes.c_int32(n),
+            ctypes.c_int32(1 if pair_end else 0),
+            ctypes.c_int32(1 if fastq else 0),
+            _u8p(seq_arr),
+            _i64p(seq_off),
+            qual_ptr,
+            qual_off_ptr,
+            ctypes.c_char_p(header_concat),
+            _i64p(header_off),
+            _i32p(seed_cnt),
+            _i32p(seed_rpos),
+            _i32p(seed_len),
+            _i64p(seed_gpos),
+            _i64p(st),
+            ctypes.byref(out),
+        )
+        sam = ctypes.string_at(out, size).decode("ascii")
+        self.lib.kart_free(out)
+        stats["paired"] = int(st[0])
+        stats["distance"] = int(st[1])
+        stats["unique"] = int(st[2])
+        stats["unmapped"] = int(st[3])
+        return sam

@@ -60,6 +60,7 @@ class KartMapper:
         max_insert_size: int = 1500,
         multi_hit: bool = False,
         use_device: bool = True,
+        backend: str = "native",
     ):
         self.gidx = gidx
         self.pacbio = pacbio
@@ -74,6 +75,16 @@ class KartMapper:
         self.sa_full_np = gidx.sa_full
         # shared counters (reference: Mapping.cpp:20)
         self.stats = dict(total=0, unique=0, unmapped=0, paired=0, distance=0)
+        self.native = None
+        if backend == "native":
+            try:
+                from ..native.post import NativePostProcessor
+
+                self.native = NativePostProcessor(
+                    gidx, pacbio, max_gaps, max_insert_size, self.min_seed_len, multi_hit
+                )
+            except Exception:
+                self.native = None
 
     # ------------------------------------------------------------------
     # Seeding
@@ -82,22 +93,38 @@ class KartMapper:
     def _encode(self, seq: bytes) -> np.ndarray:
         return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].astype(np.int32)
 
-    def _seed_batch_fast(self, enc_reads: list[np.ndarray]) -> list[list[Seed]]:
-        """FastMode seeding for a batch of encoded reads -> per-read
-        PosDiff-sorted seed lists (IdentifySeedPairs_FastMode)."""
+    def _seed_batch_flat(self, enc_reads: list[np.ndarray]):
+        """FastMode seeding for a batch of encoded reads -> flat arrays
+        (per-read counts, rpos, length, gpos) in emission x occurrence
+        order (the order IdentifySeedPairs_FastMode pushes seeds, before
+        its PosDiff sort)."""
         n = len(enc_reads)
+        empty = (
+            np.zeros(n, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int64),
+        )
         if n == 0:
-            return []
+            return empty
         if not self.use_device:
-            out = []
             from ..ops.fm_ref import identify_seed_pairs_fast
 
-            for enc in enc_reads:
+            cnts = np.zeros(n, np.int32)
+            rp, ln, gp = [], [], []
+            for i, enc in enumerate(enc_reads):
                 tuples = identify_seed_pairs_fast(self.fm_ref, enc, self.min_seed_len)
-                seeds = [Seed(True, rp, gp, ln, ln, gp - rp) for rp, ln, gp in tuples]
-                seeds.sort(key=lambda s: (s.posdiff, s.rpos))
-                out.append(seeds)
-            return out
+                cnts[i] = len(tuples)
+                for r, l, g in tuples:
+                    rp.append(r)
+                    ln.append(l)
+                    gp.append(g)
+            return (
+                cnts,
+                np.array(rp, np.int32),
+                np.array(ln, np.int32),
+                np.array(gp, np.int64),
+            )
 
         rlens = np.array([len(e) for e in enc_reads], dtype=np.int32)
         l_max = _bucket(int(rlens.max()), _L_BUCKETS)
@@ -128,32 +155,40 @@ class KartMapper:
         reps = f.reshape(-1)
         total = int(reps.sum())
         if total == 0:
-            return [[] for _ in range(n)]
+            return empty
         base = np.repeat(k0.reshape(-1), reps)
         cum = np.cumsum(reps)
         offs = np.arange(total) - np.repeat(cum - reps, reps)
         rows = (base + offs).astype(np.int32)
-        locs = self.sa_full_np[rows]
-        rp_flat = np.repeat(rpos.reshape(-1), reps)
-        ln_flat = np.repeat(slen.reshape(-1), reps)
-        read_of = np.repeat(np.repeat(np.arange(n), max_seeds), reps)
+        locs = self.sa_full_np[rows].astype(np.int64)
+        rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
+        ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
+        cnts = f.sum(axis=1).astype(np.int32)
+        return cnts, rp_flat, ln_flat, locs
 
-        result: list[list[Seed]] = [[] for _ in range(n)]
-        pd_flat = locs.astype(np.int64) - rp_flat
-        for t in range(total):
-            i = read_of[t]
-            result[i].append(
-                Seed(True, int(rp_flat[t]), int(locs[t]), int(ln_flat[t]), int(ln_flat[t]), int(pd_flat[t]))
-            )
-        for seeds in result:
+    def _seeds_to_lists(self, n, flat) -> list[list[Seed]]:
+        """Flat seed arrays -> per-read PosDiff-sorted Seed lists (the
+        python-backend representation)."""
+        cnts, rp, ln, gp = flat
+        result: list[list[Seed]] = []
+        base = 0
+        for i in range(n):
+            seeds = [
+                Seed(True, int(rp[base + t]), int(gp[base + t]), int(ln[base + t]),
+                     int(ln[base + t]), int(gp[base + t]) - int(rp[base + t]))
+                for t in range(int(cnts[i]))
+            ]
             seeds.sort(key=lambda s: (s.posdiff, s.rpos))
+            result.append(seeds)
+            base += int(cnts[i])
         return result
 
-    def _seed_sensitive(self, enc: np.ndarray) -> list[Seed]:
+    def _seed_sensitive_flat(self, enc: np.ndarray):
         """SensitiveMode seeding (IdentifySeedPairs_SensitiveMode,
-        AlignmentCandidates.cpp:132-169), host path."""
+        AlignmentCandidates.cpp:132-169), host path; returns emission-order
+        (rpos, len, gpos) tuples (before the gPos sort)."""
         rlen = len(enc)
-        seeds: list[Seed] = []
+        out: list[tuple[int, int, int]] = []
         pos, stop_pos, end_pos = 0, 30, rlen - self.min_seed_len
         while pos < end_pos:
             if enc[pos] > 3:
@@ -163,7 +198,7 @@ class KartMapper:
                 length, freq, locs = self.fm_ref.search(enc, pos, stop_pos, self.min_seed_len)
                 if freq > 0:
                     for loc in locs:
-                        seeds.append(Seed(True, pos, int(loc), length, length, int(loc) - pos))
+                        out.append((pos, length, int(loc)))
                     pos += length
                     stop_pos += length
                 else:
@@ -171,6 +206,12 @@ class KartMapper:
                     stop_pos += self.min_seed_len
                 if stop_pos > rlen:
                     stop_pos = rlen
+        return out
+
+    def _seed_sensitive(self, enc: np.ndarray) -> list[Seed]:
+        seeds = [
+            Seed(True, rp, gp, ln, ln, gp - rp) for rp, ln, gp in self._seed_sensitive_flat(enc)
+        ]
         seeds.sort(key=lambda s: (s.gpos, s.rpos))
         return seeds
 
@@ -192,6 +233,34 @@ class KartMapper:
         n = len(chunk)
         if n == 0:
             return []
+        if self.native is not None:
+            return self._map_chunk_native(chunk, pair_end, fastq)
+        return self._map_chunk_python(chunk, pair_end, fastq)
+
+    def _map_chunk_native(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
+        n = len(chunk)
+        if self.pacbio:
+            cnts = np.zeros(n, np.int32)
+            rp, ln, gp = [], [], []
+            for i, r in enumerate(chunk):
+                tuples = self._seed_sensitive_flat(self._encode(r.seq))
+                cnts[i] = len(tuples)
+                for a, b, c in tuples:
+                    rp.append(a)
+                    ln.append(b)
+                    gp.append(c)
+            flat = (cnts, np.array(rp, np.int32), np.array(ln, np.int32), np.array(gp, np.int64))
+        else:
+            flat = self._seed_batch_flat([self._encode(r.seq) for r in chunk])
+        use_pairs = pair_end and n % 2 == 0 and not self.pacbio
+        sam_text = self.native.process_chunk(
+            chunk, use_pairs, fastq, flat[0], flat[1], flat[2], flat[3], self.stats
+        )
+        self.stats["total"] += n
+        return sam_text.splitlines()
+
+    def _map_chunk_python(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
+        n = len(chunk)
         sam: list[str] = []
         my = dict(unique=0, unmapped=0, paired=0, distance=0)
         if self.pacbio:
@@ -212,7 +281,9 @@ class KartMapper:
                 sam.extend(output_single(self.gidx, st, fastq, self.multi_hit, my))
         elif pair_end and n % 2 == 0:
             est = self._est_distance()
-            seeds_all = self._seed_batch_fast([self._encode(r.seq) for r in chunk])
+            seeds_all = self._seeds_to_lists(
+                n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
+            )
             states = [self._make_state(r) for r in chunk]
             for i in range(0, n, 2):
                 j = i + 1
@@ -254,7 +325,9 @@ class KartMapper:
                     output_paired(self.gidx, states[i], states[i + 1], fastq, self.multi_hit, my)
                 )
         else:
-            seeds_all = self._seed_batch_fast([self._encode(r.seq) for r in chunk])
+            seeds_all = self._seeds_to_lists(
+                n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
+            )
             states = [self._make_state(r) for r in chunk]
             for i, st in enumerate(states):
                 cands = gen_candidates_illumina(st.rlen, seeds_all[i], self.gidx, self.max_gaps)
