@@ -180,9 +180,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"Error! {files1[lib]} and {files2[lib]} are with different format...")
                 continue
             s2 = ReadStream(files2[lib], fastq)
-        while True:
-            chunk = next_chunk(s1, s2, lib_pair, pacbio)
-            if not chunk:
+        done = False
+        while not done:
+            group = []
+            while len(group) < 4:
+                chunk = next_chunk(s1, s2, lib_pair, pacbio)
+                if not chunk:
+                    done = True
+                    break
+                group.append(chunk)
+            if not group:
                 break
             if not silent:
                 print(
@@ -191,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
                     end="",
                     flush=True,
                 )
-            for line in mapper.map_chunk(chunk, lib_pair, fastq):
+            for line in mapper.map_chunks(group, lib_pair, fastq):
                 writer(line + "\n")
         s1.close()
         if s2:

@@ -53,6 +53,19 @@ struct TableInit {
 // Context
 // ---------------------------------------------------------------------------
 
+
+// Direct 13-mer lookup seeding tables (same structure as the TPU engine in
+// kart_tpu/ops/kmer_seed.py; see its docstring for the exactness argument).
+struct SeedTables {
+  const int32_t* table_lo = nullptr;  // 4^13 + 1 entries
+  const int32_t* sa_full = nullptr;   // seq_len + 1 rows
+  std::vector<const uint32_t*> bitmaps;  // per k in bitmap_ks
+  std::vector<int> bitmap_ks;
+  int64_t seq_len = 0;
+  std::vector<int8_t> ref_codes;  // 2L codes 0..3 (derived from ref_seq)
+  bool ready = false;
+};
+
 struct Ctx {
   const uint8_t* ref_seq;  // ASCII fwd+rc text, length two_genome_size
   int64_t two_genome_size;
@@ -65,13 +78,105 @@ struct Ctx {
   int32_t max_gaps, max_insert_size, min_seed_len;
   bool pacbio, multi_hit;
   int n_threads;
+  SeedTables seed_tables;
 };
+
+// ---------------------------------------------------------------------------
+// Native direct-lookup seeding (mirror of ops/kmer_seed.py, exact FastMode)
+// ---------------------------------------------------------------------------
+
+static const int SEED_K = 13;
+static const int SEED_OCC_THR = 50;
+
+struct RawSeed {
+  int32_t rpos, len;
+  int64_t gpos;
+};
+
+static inline bool bitmap_has(const uint32_t* bm, uint32_t idx) {
+  return (bm[idx >> 5] >> (idx & 31)) & 1u;
+}
+
+// IdentifySeedPairs_FastMode via the direct table: identical seed stream to
+// BWT_Search chains (reference src/AlignmentCandidates.cpp:49-80).
+static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
+                             std::vector<RawSeed>& out) {
+  const SeedTables& st = ctx.seed_tables;
+  const int8_t* text = st.ref_codes.data();
+  int64_t last_valid = st.seq_len - SEED_K;
+  int min_seed = ctx.min_seed_len;
+  int end_pos = rlen - min_seed;
+  out.clear();
+
+  // encode once
+  thread_local std::vector<int8_t> enc;
+  enc.resize(rlen);
+  for (int i = 0; i < rlen; i++) enc[i] = (int8_t)NT4[seq[i]];
+
+  thread_local std::vector<int64_t> max_locs;
+  int pos = 0;
+  while (pos < end_pos) {
+    if (enc[pos] > 3) {
+      pos++;
+      continue;
+    }
+    // 13-mer id and first ambiguous offset within the window
+    uint32_t km = 0;
+    int amb_off = SEED_K + 1;  // > 12: no amb in the sub-13 relevant range
+    for (int i = 0; i < SEED_K; i++) {
+      int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
+      if (c > 3) {
+        if (amb_off > SEED_K) amb_off = i;
+        km = km << 2;
+      } else
+        km = (km << 2) | (uint32_t)c;
+    }
+    bool valid13 = amb_off > SEED_K;
+    if (valid13) {
+      int32_t lo = st.table_lo[km];
+      int32_t hi = st.table_lo[km + 1];
+      int best = -1;
+      max_locs.clear();
+      for (int32_t row = lo; row < hi; row++) {
+        int64_t loc = st.sa_full[row];
+        if (loc > last_valid) continue;  // bogus short-suffix entry
+        int maxl = rlen - pos;
+        if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+        int l = 0;
+        while (l < maxl && enc[pos + l] == text[loc + l]) l++;
+        if (l > best) {
+          best = l;
+          max_locs.clear();
+          max_locs.push_back(loc);
+        } else if (l == best)
+          max_locs.push_back(loc);
+      }
+      if (best >= SEED_K) {
+        if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR)
+          for (int64_t loc : max_locs) out.push_back({pos, best, loc});
+        pos += best + 1;
+        continue;
+      }
+    }
+    // sub-13: exact restart length from presence bitmaps (descending k)
+    int sub_len = 0;
+    for (size_t bi = 0; bi < st.bitmap_ks.size(); bi++) {
+      int k = st.bitmap_ks[bi];
+      if (amb_off >= k && bitmap_has(st.bitmaps[bi], km >> (2 * (SEED_K - k)))) {
+        sub_len = k;
+        break;
+      }
+    }
+    pos += sub_len + 1;
+  }
+}
 
 // std::map::lower_bound equivalent over the sorted boundary keys
 static inline int chr_lower_bound(const Ctx& c, int64_t g) {
   return (int)(std::lower_bound(c.chr_keys.begin(), c.chr_keys.end(), g) -
                c.chr_keys.begin());
 }
+
 
 // ---------------------------------------------------------------------------
 // Core structs (mirror pipeline/candidates.py)
@@ -1486,6 +1591,20 @@ static void make_read_state(const ChunkIn& in, int i, ReadState& r) {
 static void collect_seeds(const Ctx& ctx, const ChunkIn& in, int i, int64_t base,
                           std::vector<Seed>& seeds) {
   seeds.clear();
+  if (in.seed_cnt == nullptr) {
+    // internal direct-lookup seeding (Illumina FastMode only)
+    thread_local std::vector<RawSeed> raw;
+    const uint8_t* seq = in.seq_concat + in.seq_off[i];
+    int rlen = (int)(in.seq_off[i + 1] - in.seq_off[i]);
+    seed_read_direct(ctx, seq, rlen, raw);
+    seeds.reserve(raw.size());
+    for (const auto& r : raw)
+      seeds.push_back({true, r.rpos, r.gpos, r.len, r.len, r.gpos - r.rpos});
+    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
+    });
+    return;
+  }
   int cnt = in.seed_cnt[i];
   seeds.reserve(cnt);
   for (int k = 0; k < cnt; k++) {
@@ -1593,6 +1712,28 @@ void* kart_ctx_create(const uint8_t* ref_seq, int64_t two_genome_size,
 
 void kart_ctx_destroy(void* ctx) { delete (Ctx*)ctx; }
 
+// Attach direct-lookup seeding tables (caller keeps arrays alive).
+void kart_ctx_set_seed_tables(void* vctx, const int32_t* table_lo,
+                              const int32_t* sa_full, int64_t seq_len,
+                              const uint32_t* bitmaps_concat,
+                              const int64_t* bitmap_word_off,
+                              const int32_t* bitmap_ks, int32_t n_bitmaps) {
+  Ctx& c = *(Ctx*)vctx;
+  SeedTables& st = c.seed_tables;
+  st.table_lo = table_lo;
+  st.sa_full = sa_full;
+  st.seq_len = seq_len;
+  st.bitmaps.clear();
+  st.bitmap_ks.clear();
+  for (int i = 0; i < n_bitmaps; i++) {
+    st.bitmaps.push_back(bitmaps_concat + bitmap_word_off[i]);
+    st.bitmap_ks.push_back(bitmap_ks[i]);
+  }
+  st.ref_codes.resize(seq_len);
+  for (int64_t i = 0; i < seq_len; i++) st.ref_codes[i] = (int8_t)NT4[c.ref_seq[i]];
+  st.ready = true;
+}
+
 // stats layout: [0]=paired, [1]=distance, [2]=unique, [3]=unmapped (in/out)
 int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
                            int32_t fastq, const uint8_t* seq_concat,
@@ -1606,11 +1747,13 @@ int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
              qual_concat,  qual_off,      header_concat, header_off, seed_cnt,
              seed_rpos,    seed_len,      seed_gpos};
 
-  std::vector<int64_t> seed_base(n_reads);
-  int64_t acc = 0;
-  for (int i = 0; i < n_reads; i++) {
-    seed_base[i] = acc;
-    acc += seed_cnt[i];
+  std::vector<int64_t> seed_base(n_reads, 0);
+  if (seed_cnt != nullptr) {
+    int64_t acc = 0;
+    for (int i = 0; i < n_reads; i++) {
+      seed_base[i] = acc;
+      acc += seed_cnt[i];
+    }
   }
   std::vector<ReadState> states(n_reads);
   for (int i = 0; i < n_reads; i++) make_read_state(in, i, states[i]);

@@ -51,6 +51,11 @@ def load_postlib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     lib.kart_ctx_destroy.argtypes = [ctypes.c_void_p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.kart_ctx_set_seed_tables.restype = None
+    lib.kart_ctx_set_seed_tables.argtypes = [
+        ctypes.c_void_p, i32p, i32p, ctypes.c_int64, u32p, i64p, i32p, ctypes.c_int32,
+    ]
     lib.kart_process_chunk.restype = ctypes.c_int64
     lib.kart_process_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -124,10 +129,38 @@ class NativePostProcessor:
             self.lib.kart_ctx_destroy(self.ctx)
             self.ctx = None
 
+    def set_seed_tables(self, tables) -> None:
+        """Attach direct-lookup seeding tables (KmerSeedTables); after this,
+        process_chunk may be called with seed_cnt=None for internal
+        seeding."""
+        self._tb_lo = np.ascontiguousarray(tables.table_lo_np, dtype=np.int32)
+        self._tb_sa = np.ascontiguousarray(tables.sa_full_np, dtype=np.int32)
+        bm_words = [np.ascontiguousarray(b, dtype=np.uint32) for b in tables.bitmaps_np]
+        self._tb_bm = np.concatenate(bm_words)
+        off = np.zeros(len(bm_words) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bm_words], out=off[1:])
+        self._tb_bm_off = off
+        from ..ops.kmer_seed import BITMAP_KS
+
+        self._tb_ks = np.array(BITMAP_KS, dtype=np.int32)
+        self.lib.kart_ctx_set_seed_tables(
+            self.ctx,
+            _i32p(self._tb_lo),
+            _i32p(self._tb_sa),
+            ctypes.c_int64(tables.seq_len),
+            self._tb_bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            _i64p(self._tb_bm_off),
+            _i32p(self._tb_ks),
+            ctypes.c_int32(len(self._tb_ks)),
+        )
+        self.has_seed_tables = True
+
     def process_chunk(self, chunk, pair_end, fastq, seed_cnt, seed_rpos, seed_len,
                       seed_gpos, stats):
         """chunk: list[RawRead]; seed arrays flat per read (counts in
-        seed_cnt); stats dict mutated in place; returns SAM text str."""
+        seed_cnt), or seed_cnt=None to seed natively via the attached
+        direct-lookup tables; stats dict mutated in place; returns SAM
+        text str."""
         n = len(chunk)
         seq_concat = b"".join(r.seq for r in chunk)
         seq_off = np.zeros(n + 1, dtype=np.int64)
@@ -148,10 +181,17 @@ class NativePostProcessor:
         np.cumsum([len(h) for h in headers], out=header_off[1:])
 
         seq_arr = np.frombuffer(seq_concat, dtype=np.uint8)
-        seed_cnt = np.ascontiguousarray(seed_cnt, dtype=np.int32)
-        seed_rpos = np.ascontiguousarray(seed_rpos, dtype=np.int32)
-        seed_len = np.ascontiguousarray(seed_len, dtype=np.int32)
-        seed_gpos = np.ascontiguousarray(seed_gpos, dtype=np.int64)
+        if seed_cnt is None:
+            null_i32 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+            null_i64 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int64))
+            cnt_ptr, rp_ptr, ln_ptr, gp_ptr = null_i32, null_i32, null_i32, null_i64
+        else:
+            seed_cnt = np.ascontiguousarray(seed_cnt, dtype=np.int32)
+            seed_rpos = np.ascontiguousarray(seed_rpos, dtype=np.int32)
+            seed_len = np.ascontiguousarray(seed_len, dtype=np.int32)
+            seed_gpos = np.ascontiguousarray(seed_gpos, dtype=np.int64)
+            cnt_ptr, rp_ptr, ln_ptr = _i32p(seed_cnt), _i32p(seed_rpos), _i32p(seed_len)
+            gp_ptr = _i64p(seed_gpos)
 
         st = np.array(
             [stats["paired"], stats["distance"], stats["unique"], stats["unmapped"]],
@@ -169,10 +209,10 @@ class NativePostProcessor:
             qual_off_ptr,
             ctypes.c_char_p(header_concat),
             _i64p(header_off),
-            _i32p(seed_cnt),
-            _i32p(seed_rpos),
-            _i32p(seed_len),
-            _i64p(seed_gpos),
+            cnt_ptr,
+            rp_ptr,
+            ln_ptr,
+            gp_ptr,
             _i64p(st),
             ctypes.byref(out),
         )

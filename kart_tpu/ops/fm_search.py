@@ -217,7 +217,19 @@ def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max
     state = (zb, z, z, z, z, z, zs, zs, zs, zs)
     state = jax.lax.fori_loop(0, l_max + 1, step, state)
     _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf = state
-    return dict(rpos=rpos, slen=slen, k0=k0f, freq=freqf, n_seeds=n_seeds)
+    # single packed output: one device->host transfer (see kmer_seed.py)
+    return jnp.concatenate([n_seeds[:, None], rpos, slen, k0f, freqf], axis=1)
+
+
+def unpack_seed_scan(packed, max_seeds: int) -> dict:
+    """Split seed_scan's packed (B, 1 + 4*max_seeds) result into fields."""
+    return dict(
+        n_seeds=packed[:, 0],
+        rpos=packed[:, 1 : 1 + max_seeds],
+        slen=packed[:, 1 + max_seeds : 1 + 2 * max_seeds],
+        k0=packed[:, 1 + 2 * max_seeds : 1 + 3 * max_seeds],
+        freq=packed[:, 1 + 3 * max_seeds : 1 + 4 * max_seeds],
+    )
 
 
 # ---------------------------------------------------------------------------

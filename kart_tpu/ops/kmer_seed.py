@@ -1,0 +1,295 @@
+"""Direct-lookup seeding engine (TPU-first fast path for small genomes).
+
+Replaces the per-base FM backward-search scan with a wavefront of direct
+13-mer table lookups + vectorized maximal-extension compares, producing
+seeds identical to IdentifySeedPairs_FastMode (reference:
+src/AlignmentCandidates.cpp:49-80 + src/bwt_search.cpp:140-184):
+
+- All occurrences of a read's 13-mer form a contiguous suffix-array
+  interval [lo, hi).  A direct-address table (4^13 int32 entries, built
+  from the full SA at index load) yields it in ONE gather — replacing
+  13 occ4 interval updates.
+- The FM maximal exact extension from p equals the maximum LCP between
+  read[p:] and the genome at the interval's hit positions; the hits
+  achieving it are a contiguous sub-interval in SA row order, so the
+  engine emits the same (rpos, len, sa_row_start, freq) records as the
+  batched FM stepper, resolved by the same full-SA gather.
+- Restarts whose 13-mer has no genuine occurrence advance by the exact
+  FM extension length (< 13), recovered from per-length presence
+  bitmaps (k = 12..4) and the first-ambiguous-base offset.
+- Lanes whose 13-mer interval exceeds hit_cap (deep repeats) or that
+  exhaust the round budget are flagged `ok=False` and must be re-seeded
+  with the exact FM stepper — the engine is a fast path, never an
+  approximation.
+
+Why this is the TPU-native shape: the FM scan issues ~2L random 48-byte
+gathers per read (dispatch/latency-bound); this engine does ~4 gathers
+per restart plus large contiguous row gathers + VPU compares, which XLA
+executes near memory bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 13
+OCC_THR = 50
+BITMAP_KS = (12, 11, 10, 9, 8, 7, 6, 5, 4)
+
+
+@dataclass
+class KmerSeedTables:
+    """Direct-lookup engine tables, host (numpy) resident; device copies are
+    created lazily for the TPU engine.  The same arrays back the native C++
+    engine via ctypes (kart_post.cpp seed_read_direct)."""
+
+    table_lo_np: np.ndarray  # (4^13 + 1,) int32: SA-interval start per kmer
+    text_np: np.ndarray  # (2L + seg_pad,) int8 codes, padded with 5
+    sa_full_np: np.ndarray  # (2L + 1,) int32
+    bitmaps_np: tuple  # per k in BITMAP_KS: (4^k/32,) uint32 presence words
+    seq_len: int
+    max_mult: int  # max 13-mer multiplicity (for hit_cap sizing)
+    all_short_present: bool  # every 4-mer occurs (sub-13 lengths exact)
+
+    def _dev(self, name, value):
+        key = "_d_" + name
+        if not hasattr(self, key):
+            object.__setattr__(self, key, jnp.asarray(value))
+        return getattr(self, key)
+
+    @property
+    def table_lo(self):
+        return self._dev("table_lo", self.table_lo_np)
+
+    @property
+    def text(self):
+        return self._dev("text", self.text_np)
+
+    @property
+    def sa_full(self):
+        return self._dev("sa_full", self.sa_full_np)
+
+    @property
+    def bitmaps(self):
+        key = "_d_bitmaps"
+        if not hasattr(self, key):
+            object.__setattr__(self, key, tuple(jnp.asarray(b) for b in self.bitmaps_np))
+        return getattr(self, key)
+
+
+def build_tables(gidx, seg_pad: int = 1024) -> KmerSeedTables:
+    codes = gidx.ref_codes.astype(np.int64)  # (2L,), values 0..3
+    seq_len = int(gidx.seq_len)
+    sa = gidx.sa_full.astype(np.int64)  # (2L+1,)
+
+    # packed 13-mer at every text position (0-padded past the end; bogus
+    # short-suffix entries are filtered at query time by loc > 2L-13)
+    padded = np.concatenate([codes, np.zeros(K, np.int64)])
+    kmer = np.zeros(seq_len + 1, dtype=np.int64)
+    for i in range(K):
+        kmer = (kmer << 2) | padded[i : i + seq_len + 1]
+
+    ids_sorted = kmer[sa]  # non-decreasing over SA rows (0-padding sorts low)
+    counts = np.bincount(ids_sorted, minlength=4**K)
+    table_lo = np.zeros(4**K + 1, dtype=np.int32)
+    np.cumsum(counts, out=table_lo[1:])
+    max_mult = int(counts.max())
+
+    bitmaps = []
+    all_short = True
+    for k in BITMAP_KS:
+        kk = np.zeros(seq_len - k + 1, dtype=np.int64)
+        for i in range(k):
+            kk = (kk << 2) | codes[i : i + seq_len - k + 1]
+        present = np.zeros(4**k, dtype=bool)
+        present[kk] = True
+        if k == BITMAP_KS[-1]:
+            all_short = bool(present.all())
+        words = np.packbits(present.reshape(-1, 32), axis=1, bitorder="little")
+        bitmaps.append(np.frombuffer(words.tobytes(), dtype="<u4").copy())
+
+    text_padded = np.concatenate(
+        [gidx.ref_codes.astype(np.int8), np.full(seg_pad, 5, np.int8)]
+    )
+    return KmerSeedTables(
+        table_lo_np=table_lo,
+        text_np=text_padded,
+        sa_full_np=gidx.sa_full.astype(np.int32),
+        bitmaps_np=tuple(bitmaps),
+        seq_len=seq_len,
+        max_mult=max_mult,
+        all_short_present=all_short,
+    )
+
+
+def _bitmap_test(bitmap, idx):
+    w = bitmap[idx >> 5]
+    return ((w >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+
+
+def _distance_tables(amb, l_max):
+    """For each (read, p): distance to first ambiguous base at/after p and
+    distance to first NON-ambiguous base at/after p (both capped l_max)."""
+    B = amb.shape[0]
+    d_amb = jnp.full((B,), l_max, jnp.int32)
+    d_base = jnp.full((B,), l_max, jnp.int32)
+    cols_a, cols_b = [], []
+    for p in range(l_max - 1, -1, -1):
+        d_amb = jnp.where(amb[:, p], 0, jnp.minimum(d_amb + 1, l_max))
+        d_base = jnp.where(~amb[:, p], 0, jnp.minimum(d_base + 1, l_max))
+        cols_a.append(d_amb)
+        cols_b.append(d_base)
+    return jnp.stack(cols_a[::-1], axis=1), jnp.stack(cols_b[::-1], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len")
+)
+def kmer_seed_scan(
+    table_lo,
+    text,
+    sa_full,
+    bitmaps,
+    reads,
+    rlens,
+    min_seed_len,
+    *,
+    max_seeds,
+    l_max,
+    hit_cap,
+    rounds,
+    seq_len,
+):
+    """Direct-lookup FastMode seeding.
+
+    reads: (B, l_max) int32 codes padded with 4.  Returns the seed_scan
+    schema — (B, max_seeds) rpos/slen/k0/freq + (B,) n_seeds — where k0
+    is the SA row of the first maximal occurrence, plus (B,) bool `ok`.
+    """
+    B = reads.shape[0]
+    bidx = jnp.arange(B)
+    last_valid = seq_len - K
+
+    # rolling 13-mer ids per read position; window-amb flag
+    r64 = reads.astype(jnp.int64)
+    padded = jnp.pad(r64, ((0, 0), (0, K)), constant_values=4)
+    kmer = jnp.zeros((B, l_max), jnp.int64)
+    amb_in_win = jnp.zeros((B, l_max), bool)
+    for i in range(K):
+        col = jax.lax.dynamic_slice_in_dim(padded, i, l_max, axis=1)
+        kmer = (kmer << 2) | jnp.where(col > 3, 0, col)
+        amb_in_win = amb_in_win | (col > 3)
+    kmer = kmer.astype(jnp.int32)
+
+    amb = reads > 3
+    amb_off, nonamb_off = _distance_tables(amb, l_max)
+    cap_idx = jnp.arange(hit_cap, dtype=jnp.int32)
+    reads_pad = jnp.pad(reads, ((0, 0), (0, l_max)), constant_values=4)
+
+    def round_body(_, state):
+        p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow = state
+        # bulk-skip ambiguous restart positions (EncodeSeq[pos]>3 -> pos++)
+        p_idx = jnp.minimum(p, l_max - 1)
+        p = jnp.minimum(p + nonamb_off[bidx, p_idx], jnp.int32(l_max))
+        p_idx = jnp.minimum(p, l_max - 1)
+
+        active = p < (rlens - min_seed_len)
+
+        km = kmer[bidx, p_idx]
+        valid13 = active & (~amb_in_win[bidx, p_idx])
+        lo = jnp.where(valid13, table_lo[km], 0)
+        hi = jnp.where(valid13, table_lo[km + 1], 0)
+        cnt = hi - lo
+        over = active & (cnt > hit_cap)
+        overflow = overflow | over
+        cnt = jnp.where(over, 0, cnt)
+
+        hit_ok = cap_idx[None, :] < cnt[:, None]  # (B, cap)
+        hit_rows = jnp.where(hit_ok, lo[:, None] + cap_idx[None, :], 0)
+        locs = sa_full[hit_rows]  # (B, cap)
+        genuine = hit_ok & (locs <= last_valid)
+
+        # lcp of read[p:] vs text[loc:] — contiguous-window gathers
+        # (vmapped dynamic_slice lowers to a gather with slice_sizes=S,
+        # which XLA fetches as contiguous rows; an element-wise fancy-index
+        # gather of the same data is ~100x slower)
+        read_seg = jax.vmap(
+            lambda row, pp: jax.lax.dynamic_slice(row, (pp,), (l_max,))
+        )(reads_pad, p_idx).astype(jnp.int8)
+        loc_safe = jnp.where(genuine, locs, 0)
+        text_seg = jax.vmap(
+            jax.vmap(lambda loc: jax.lax.dynamic_slice(text, (loc,), (l_max,)))
+        )(loc_safe)  # (B, cap, S) int8
+        mism = text_seg != read_seg[:, None, :]
+        any_mism = jnp.any(mism, axis=2)
+        lcp = jnp.where(any_mism, jnp.argmax(mism, axis=2).astype(jnp.int32), l_max)
+        lcp = jnp.where(genuine, lcp, -1)
+
+        best = jnp.max(lcp, axis=1)
+        has13 = valid13 & (best >= K)
+        is_best = (lcp == best[:, None]) & genuine
+        freq = jnp.sum(is_best, axis=1)
+        first_off = jnp.argmax(is_best, axis=1).astype(jnp.int32)
+        row0 = lo + first_off
+
+        # sub-13 exact restart length from presence bitmaps
+        sub_len = jnp.zeros((B,), jnp.int32)
+        for bi, k in enumerate(BITMAP_KS):
+            kk = (km >> (2 * (K - k))).astype(jnp.int32)
+            ok_k = _bitmap_test(bitmaps[bi], kk) & (amb_off[bidx, p_idx] >= k)
+            sub_len = jnp.maximum(sub_len, jnp.where(ok_k, k, 0))
+        sub_len = jnp.minimum(sub_len, amb_off[bidx, p_idx])
+        length = jnp.where(has13, best, sub_len)
+
+        record = active & has13 & (length >= min_seed_len) & (freq <= OCC_THR) & (freq > 0)
+        slot = jnp.where(record, n_seeds, max_seeds)
+        rpos_b = rpos_b.at[bidx, slot].set(p, mode="drop")
+        slen_b = slen_b.at[bidx, slot].set(length, mode="drop")
+        k0_b = k0_b.at[bidx, slot].set(row0, mode="drop")
+        freq_b = freq_b.at[bidx, slot].set(freq, mode="drop")
+        n_seeds = n_seeds + record.astype(jnp.int32)
+
+        p = jnp.where(active, p + length + 1, p)
+        return (p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow)
+
+    z = rlens * 0
+    zb = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
+    state = (z, z, zb, zb, zb, zb, rlens < 0)
+    p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow = jax.lax.fori_loop(
+        0, rounds, round_body, state
+    )
+    # a lane is clean iff it ran to completion without interval overflow
+    p_idx = jnp.minimum(p, l_max - 1)
+    p_final = jnp.minimum(p + nonamb_off[bidx, p_idx], jnp.int32(l_max))
+    unfinished = p_final < (rlens - min_seed_len)
+    ok = ~(overflow | unfinished)
+    # pack into ONE output array: a single device->host transfer (the axon
+    # relay charges ~0.35s per d2h transfer regardless of size)
+    return jnp.concatenate(
+        [
+            n_seeds[:, None],
+            ok.astype(jnp.int32)[:, None],
+            rpos_b,
+            slen_b,
+            k0_b,
+            freq_b,
+        ],
+        axis=1,
+    )
+
+
+def unpack_seed_result(packed: np.ndarray, max_seeds: int) -> dict:
+    """Split the packed (B, 2 + 4*max_seeds) result back into fields."""
+    return dict(
+        n_seeds=packed[:, 0],
+        ok=packed[:, 1] != 0,
+        rpos=packed[:, 2 : 2 + max_seeds],
+        slen=packed[:, 2 + max_seeds : 2 + 2 * max_seeds],
+        k0=packed[:, 2 + 2 * max_seeds : 2 + 3 * max_seeds],
+        freq=packed[:, 2 + 3 * max_seeds : 2 + 4 * max_seeds],
+    )

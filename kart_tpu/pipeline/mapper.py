@@ -14,7 +14,7 @@ from ..index.format import NT4_TABLE
 from ..index.loader import GenomeIndex
 from ..io.fastq import RawRead
 from ..ops.fm_ref import fm_from_genome_index
-from ..ops.fm_search import FMIndexArrays, sa_resolve_full, seed_scan
+from ..ops.fm_search import FMIndexArrays, sa_resolve_full, seed_scan, unpack_seed_scan
 from .candidates import (
     Candidate,
     Seed,
@@ -32,7 +32,7 @@ from .pairing import (
 from .report import ReadState, gen_mapping_report
 from .sam import evaluate_mapq, output_paired, output_single, set_paired_flags, set_single_flag
 
-_B_BUCKETS = [64, 256, 1024, 2048, 4000]
+_B_BUCKETS = [2048, 16000]  # few variants: each (B, l_max) pair is a separate XLA compile
 _L_BUCKETS = [64, 128, 160, 256, 384, 512]
 
 
@@ -85,6 +85,29 @@ class KartMapper:
                 )
             except Exception:
                 self.native = None
+        # direct 13-mer lookup seeding engine (small-genome TPU fast path)
+        self.kmer_tables = None
+        self._kmer_tables_tried = False
+
+    def _get_kmer_tables(self):
+        if self._kmer_tables_tried:
+            return self.kmer_tables
+        self._kmer_tables_tried = True
+        if not self.use_device or self.pacbio:
+            return None
+        # gate: direct table is 4^13 ints; multiplicities must be bounded and
+        # every 4-mer must occur so sub-13 restart lengths are exact
+        if self.gidx.seq_len > 60_000_000:
+            return None
+        try:
+            from ..ops.kmer_seed import build_tables
+
+            tb = build_tables(self.gidx)
+            if tb.all_short_present and tb.max_mult <= 4096:
+                self.kmer_tables = tb
+        except Exception:
+            self.kmer_tables = None
+        return self.kmer_tables
 
     # ------------------------------------------------------------------
     # Seeding
@@ -135,19 +158,79 @@ class KartMapper:
         rl = np.zeros(B, dtype=np.int32)
         rl[:n] = rlens
         max_seeds = l_max // (self.min_seed_len + 1) + 1
-        out = seed_scan(
-            self.fm_dev,
-            reads,
-            rl,
-            np.int32(self.min_seed_len),
-            max_seeds=max_seeds,
-            l_max=l_max,
-        )
-        n_seeds = np.asarray(out["n_seeds"])[:n]
-        rpos = np.asarray(out["rpos"])[:n]
-        slen = np.asarray(out["slen"])[:n]
-        k0 = np.asarray(out["k0"])[:n]
-        freq = np.asarray(out["freq"])[:n]
+        tb = self._get_kmer_tables()
+        if tb is not None:
+            from ..ops.kmer_seed import kmer_seed_scan
+
+            hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
+            rounds = l_max // 10 + 4
+            from ..ops.kmer_seed import unpack_seed_result
+
+            packed = np.asarray(
+                kmer_seed_scan(
+                    tb.table_lo,
+                    tb.text,
+                    tb.sa_full,
+                    tb.bitmaps,
+                    reads,
+                    rl,
+                    np.int32(self.min_seed_len),
+                    max_seeds=max_seeds,
+                    l_max=l_max,
+                    hit_cap=hit_cap,
+                    rounds=rounds,
+                    seq_len=tb.seq_len,
+                )
+            )[:n]
+            out = unpack_seed_result(packed, max_seeds)
+            ok = out["ok"]
+            n_seeds = out["n_seeds"].copy()
+            rpos = out["rpos"].copy()
+            slen = out["slen"].copy()
+            k0 = out["k0"].copy()
+            freq = out["freq"].copy()
+            if not ok.all():
+                # exact re-seed of overflow/unfinished lanes with the FM stepper
+                bad = np.nonzero(~ok)[0]
+                nb = len(bad)
+                Bb = _bucket(nb, _B_BUCKETS)
+                reads_b = np.full((Bb, l_max), 4, dtype=np.int32)
+                reads_b[:nb] = reads[bad]
+                rl_b = np.zeros(Bb, dtype=np.int32)
+                rl_b[:nb] = rl[bad]
+                packed2 = np.asarray(
+                    seed_scan(
+                        self.fm_dev,
+                        reads_b,
+                        rl_b,
+                        np.int32(self.min_seed_len),
+                        max_seeds=max_seeds,
+                        l_max=l_max,
+                    )
+                )[:nb]
+                out2 = unpack_seed_scan(packed2, max_seeds)
+                n_seeds[bad] = out2["n_seeds"]
+                rpos[bad] = out2["rpos"]
+                slen[bad] = out2["slen"]
+                k0[bad] = out2["k0"]
+                freq[bad] = out2["freq"]
+        else:
+            packed = np.asarray(
+                seed_scan(
+                    self.fm_dev,
+                    reads,
+                    rl,
+                    np.int32(self.min_seed_len),
+                    max_seeds=max_seeds,
+                    l_max=l_max,
+                )
+            )[:n]
+            out = unpack_seed_scan(packed, max_seeds)
+            n_seeds = out["n_seeds"]
+            rpos = out["rpos"]
+            slen = out["slen"]
+            k0 = out["k0"]
+            freq = out["freq"]
 
         # flatten all occurrences, resolve with one full-SA gather
         sidx = np.arange(max_seeds)[None, :] < n_seeds[:, None]
@@ -237,8 +320,56 @@ class KartMapper:
             return self._map_chunk_native(chunk, pair_end, fastq)
         return self._map_chunk_python(chunk, pair_end, fastq)
 
+    def map_chunks(self, chunks: list, pair_end: bool, fastq: bool) -> list[str]:
+        """Map several 4000-read chunks with ONE device seeding call
+        (seeding is stateless; per-chunk pairing still sees the running
+        insert-size stats in reference order).  Falls back to per-chunk
+        mapping for the python backend / PacBio."""
+        chunks = [c for c in chunks if c]
+        if not chunks:
+            return []
+        if self.native is None or self.pacbio or len(chunks) == 1 or self._native_seeding_ready():
+            out: list[str] = []
+            for c in chunks:
+                out.extend(self.map_chunk(c, pair_end, fastq))
+            return out
+        all_reads = [r for c in chunks for r in c]
+        flat = self._seed_batch_flat([self._encode(r.seq) for r in all_reads])
+        cnts, rp, ln, gp = flat
+        sizes = [len(c) for c in chunks]
+        read_off = np.concatenate([[0], np.cumsum(sizes)])
+        seed_off = np.concatenate([[0], np.cumsum(cnts)])
+        out = []
+        for ci, c in enumerate(chunks):
+            r0, r1 = read_off[ci], read_off[ci + 1]
+            s0, s1 = seed_off[r0], seed_off[r1]
+            use_pairs = pair_end and len(c) % 2 == 0
+            sam_text = self.native.process_chunk(
+                c, use_pairs, fastq, cnts[r0:r1], rp[s0:s1], ln[s0:s1], gp[s0:s1], self.stats
+            )
+            self.stats["total"] += len(c)
+            out.extend(sam_text.splitlines())
+        return out
+
+    def _native_seeding_ready(self) -> bool:
+        if self.pacbio or self.native is None:
+            return False
+        tb = self._get_kmer_tables()
+        if tb is None:
+            return False
+        if not getattr(self.native, "has_seed_tables", False):
+            self.native.set_seed_tables(tb)
+        return True
+
     def _map_chunk_native(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
         n = len(chunk)
+        if not self.pacbio and self._native_seeding_ready():
+            use_pairs = pair_end and n % 2 == 0
+            sam_text = self.native.process_chunk(
+                chunk, use_pairs, fastq, None, None, None, None, self.stats
+            )
+            self.stats["total"] += n
+            return sam_text.splitlines()
         if self.pacbio:
             cnts = np.zeros(n, np.int32)
             rp, ln, gp = [], [], []

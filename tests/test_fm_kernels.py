@@ -5,7 +5,7 @@ import pytest
 
 from kart_tpu.index import build_index, load_index
 from kart_tpu.ops.fm_ref import fm_from_genome_index, identify_seed_pairs_fast
-from kart_tpu.ops.fm_search import FMIndexArrays, sa_resolve_full, sa_walk, seed_scan
+from kart_tpu.ops.fm_search import FMIndexArrays, sa_resolve_full, sa_walk, seed_scan, unpack_seed_scan
 
 from conftest import make_genome
 
@@ -67,8 +67,12 @@ def test_seed_scan_matches_reference_model(tiny_index):
     reads = simulate_reads(tiny_index, 32, rlen)
     rlens = np.full(32, rlen, dtype=np.int32)
 
-    out = seed_scan(
-        fm_dev, reads, rlens, np.int32(min_seed), max_seeds=rlen // (min_seed + 1) + 1, l_max=rlen
+    ms = rlen // (min_seed + 1) + 1
+    out = unpack_seed_scan(
+        np.asarray(
+            seed_scan(fm_dev, reads, rlens, np.int32(min_seed), max_seeds=ms, l_max=rlen)
+        ),
+        ms,
     )
     n_seeds = np.asarray(out["n_seeds"])
     rpos = np.asarray(out["rpos"])
@@ -100,7 +104,10 @@ def test_seed_scan_variable_lengths(tiny_index):
     for i, L in enumerate(lens):
         p = rng.integers(0, tiny_index.two_genome_size - int(L))
         reads[i, :L] = codes[p : p + L]
-    out = seed_scan(fm_dev, reads, lens, np.int32(min_seed), max_seeds=8, l_max=l_max)
+    out = unpack_seed_scan(
+        np.asarray(seed_scan(fm_dev, reads, lens, np.int32(min_seed), max_seeds=8, l_max=l_max)),
+        8,
+    )
     for i, L in enumerate(lens):
         expected = identify_seed_pairs_fast(fm_ref, reads[i, :L], min_seed)
         got = []
