@@ -97,6 +97,101 @@ static inline bool bitmap_has(const uint32_t* bm, uint32_t idx) {
   return (bm[idx >> 5] >> (idx & 31)) & 1u;
 }
 
+// Capped maximal extension at `pos` with window end `stop` (BWT_Search's
+// [start, stop) semantics): returns length and appends the occurrences of
+// the maximal (possibly window-capped) prefix when it qualifies as a seed.
+static int extend_at(const Ctx& ctx, const int8_t* enc, int rlen, int pos, int stop,
+                     std::vector<RawSeed>& out, bool& emitted) {
+  const SeedTables& st = ctx.seed_tables;
+  const int8_t* text = st.ref_codes.data();
+  int64_t last_valid = st.seq_len - SEED_K;
+  int min_seed = ctx.min_seed_len;
+  emitted = false;
+
+  uint32_t km = 0;
+  int amb_off = SEED_K + 1;
+  for (int i = 0; i < SEED_K; i++) {
+    int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
+    if (c > 3) {
+      if (amb_off > SEED_K) amb_off = i;
+      km = km << 2;
+    } else
+      km = (km << 2) | (uint32_t)c;
+  }
+  if (stop - pos < SEED_K && amb_off > stop - pos) amb_off = stop - pos;
+  if (amb_off > SEED_K && stop - pos >= SEED_K) {
+    int32_t lo = st.table_lo[km];
+    int32_t hi = st.table_lo[km + 1];
+    int best = -1;
+    thread_local std::vector<int64_t> max_locs;
+    max_locs.clear();
+    int l_cap = stop - pos;
+    for (int32_t row = lo; row < hi; row++) {
+      int64_t loc = st.sa_full[row];
+      if (loc > last_valid) continue;
+      int maxl = l_cap;
+      if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+      int l = 0;
+      while (l < maxl && enc[pos + l] == text[loc + l]) l++;
+      if (l > best) {
+        best = l;
+        max_locs.clear();
+        max_locs.push_back(loc);
+      } else if (l == best)
+        max_locs.push_back(loc);
+    }
+    if (best >= SEED_K) {
+      if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR) {
+        emitted = true;
+        for (int64_t loc : max_locs) out.push_back({pos, best, loc});
+      }
+      return best;
+    }
+  }
+  // sub-13 restart length from presence bitmaps (descending k), also capped
+  // by the window (a window shorter than k cannot certify a k-match)
+  int sub_cap = std::min(amb_off, stop - pos);
+  const SeedTables& st2 = ctx.seed_tables;
+  for (size_t bi = 0; bi < st2.bitmap_ks.size(); bi++) {
+    int k = st2.bitmap_ks[bi];
+    if (sub_cap >= k && bitmap_has(st2.bitmaps[bi], km >> (2 * (SEED_K - k))))
+      return k;
+  }
+  return 0;
+}
+
+// IdentifySeedPairs_SensitiveMode via the direct table (reference:
+// src/AlignmentCandidates.cpp:132-169): 30-base window, advance len on
+// success, MinSeedLength on failure.
+static void seed_read_sensitive(const Ctx& ctx, const uint8_t* seq, int rlen,
+                                std::vector<RawSeed>& out) {
+  int min_seed = ctx.min_seed_len;
+  out.clear();
+  thread_local std::vector<int8_t> enc;
+  enc.resize(rlen);
+  for (int i = 0; i < rlen; i++) enc[i] = (int8_t)NT4[seq[i]];
+  int pos = 0, stop_pos = 30, end_pos = rlen - min_seed;
+  while (pos < end_pos) {
+    if (enc[pos] > 3) {
+      pos++;
+      stop_pos++;
+      continue;
+    }
+    bool emitted = false;
+    int len = extend_at(ctx, enc.data(), rlen, pos, std::min(stop_pos, rlen), out,
+                        emitted);
+    // BWT_Search returns freq>0 iff len >= MinSeedLength AND freq <= OCC_Thr
+    if (emitted) {
+      pos += len;
+      stop_pos += len;
+    } else {
+      pos += min_seed;
+      stop_pos += min_seed;
+    }
+    if (stop_pos > rlen) stop_pos = rlen;
+  }
+}
+
 // IdentifySeedPairs_FastMode via the direct table: identical seed stream to
 // BWT_Search chains (reference src/AlignmentCandidates.cpp:49-80).
 static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
@@ -1592,17 +1687,25 @@ static void collect_seeds(const Ctx& ctx, const ChunkIn& in, int i, int64_t base
                           std::vector<Seed>& seeds) {
   seeds.clear();
   if (in.seed_cnt == nullptr) {
-    // internal direct-lookup seeding (Illumina FastMode only)
+    // internal direct-lookup seeding
     thread_local std::vector<RawSeed> raw;
     const uint8_t* seq = in.seq_concat + in.seq_off[i];
     int rlen = (int)(in.seq_off[i + 1] - in.seq_off[i]);
-    seed_read_direct(ctx, seq, rlen, raw);
+    if (ctx.pacbio)
+      seed_read_sensitive(ctx, seq, rlen, raw);
+    else
+      seed_read_direct(ctx, seq, rlen, raw);
     seeds.reserve(raw.size());
     for (const auto& r : raw)
       seeds.push_back({true, r.rpos, r.gpos, r.len, r.len, r.gpos - r.rpos});
-    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
-      return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
-    });
+    if (ctx.pacbio)
+      std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+        return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+      });
+    else
+      std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+        return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
+      });
     return;
   }
   int cnt = in.seed_cnt[i];

@@ -93,7 +93,7 @@ class KartMapper:
         if self._kmer_tables_tried:
             return self.kmer_tables
         self._kmer_tables_tried = True
-        if not self.use_device or self.pacbio:
+        if not (self.use_device or self.native is not None):
             return None
         # gate: direct table is 4^13 ints; multiplicities must be bounded and
         # every 4-mer must occur so sub-13 restart lengths are exact
@@ -352,7 +352,7 @@ class KartMapper:
         return out
 
     def _native_seeding_ready(self) -> bool:
-        if self.pacbio or self.native is None:
+        if self.native is None:
             return False
         tb = self._get_kmer_tables()
         if tb is None:
@@ -363,7 +363,7 @@ class KartMapper:
 
     def _map_chunk_native(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
         n = len(chunk)
-        if not self.pacbio and self._native_seeding_ready():
+        if self._native_seeding_ready():
             use_pairs = pair_end and n % 2 == 0
             sam_text = self.native.process_chunk(
                 chunk, use_pairs, fastq, None, None, None, None, self.stats
