@@ -85,37 +85,37 @@ def simulate_reads(fa, out1, out2, err=0.01, indel=0.001):
 def main():
     prefix, r1, r2 = ensure_assets()
     from kart_tpu.index import load_index
-    from kart_tpu.io.fastq import ReadStream, next_chunk
     from kart_tpu.pipeline.mapper import KartMapper
 
     gidx = load_index(prefix)
     mapper = KartMapper(gidx)
 
-    # warm-up: compile both seeding batch variants (4-chunk group + single)
-    s1 = ReadStream(r1, True)
-    s2 = ReadStream(r2, True)
-    warm_group = [next_chunk(s1, s2, True, False) for _ in range(4)]
-    mapper.map_chunks(warm_group, True, True)
-    mapper.map_chunk(warm_group[0][:64], True, True)
+    # warm-up on a small slice (builds seed tables / native ctx / compiles)
+    w1 = os.path.join(DATA, "warm_r1.fq")
+    w2 = os.path.join(DATA, "warm_r2.fq")
+    for src, dst in ((r1, w1), (r2, w2)):
+        if not os.path.exists(dst):
+            with open(src, "rb") as f, open(dst, "wb") as g:
+                for _ in range(2048):  # 512 reads
+                    line = f.readline()
+                    if not line:
+                        break
+                    g.write(line)
+    mapper.map_stream(w1, w2, True, True, lambda s: None)
 
-    n_reads = sum(len(c) for c in warm_group)
+    total0 = mapper.stats["total"]
+    out_chars = 0
+
+    def writer(s: str):
+        nonlocal out_chars
+        out_chars += len(s)
+
     t0 = time.time()
-    out_lines = 0
-    done = False
-    while not done:
-        group = []
-        while len(group) < 4:
-            chunk = next_chunk(s1, s2, True, False)
-            if not chunk:
-                done = True
-                break
-            group.append(chunk)
-        if not group:
-            break
-        out_lines += len(mapper.map_chunks(group, True, True))
-        n_reads += sum(len(c) for c in group)
+    mapper.map_stream(r1, r2, True, True, writer)
     dt = time.time() - t0
-    reads_per_sec = (n_reads - sum(len(c) for c in warm_group)) / dt
+    n_reads = mapper.stats["total"] - total0
+    assert out_chars > 0 and n_reads == 2 * N_PAIRS, (out_chars, n_reads)
+    reads_per_sec = n_reads / dt
     result = {
         "metric": "illumina_pe_reads_per_sec_per_chip",
         "value": round(reads_per_sec, 1),

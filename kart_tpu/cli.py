@@ -143,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
     gidx = load_index(index_name)
     print("Load the reference sequences...")
 
-    from .io.fastq import ReadStream, check_read_format, next_chunk
+    from .io.fastq import check_read_format
     from .pipeline.mapper import KartMapper
     from .pipeline.sam import sam_header
 
@@ -171,38 +171,28 @@ def main(argv: list[str] | None = None) -> int:
     sep_library = len(files2) == len(files1) and len(files2) > 0
     for lib in range(len(files1)):
         fastq = check_read_format(files1[lib])
-        s1 = ReadStream(files1[lib], fastq)
-        s2 = None
+        path2 = None
         lib_pair = pair_end
         if sep_library:
             lib_pair = True
             if fastq != check_read_format(files2[lib]):
                 print(f"Error! {files1[lib]} and {files2[lib]} are with different format...")
                 continue
-            s2 = ReadStream(files2[lib], fastq)
-        done = False
-        while not done:
-            group = []
-            while len(group) < 4:
-                chunk = next_chunk(s1, s2, lib_pair, pacbio)
-                if not chunk:
-                    done = True
-                    break
-                group.append(chunk)
-            if not group:
-                break
-            if not silent:
+            path2 = files2[lib]
+
+        progress = None
+        if not silent:
+            kind = "paired-end" if lib_pair else "singled-end"
+
+            def progress(total, kind=kind):
                 print(
-                    f"\r{mapper.stats['total']} {'paired-end' if lib_pair else 'singled-end'} reads"
-                    f" have been processed in {int(time.time() - t0)} seconds...",
+                    f"\r{total} {kind} reads have been processed"
+                    f" in {int(time.time() - t0)} seconds...",
                     end="",
                     flush=True,
                 )
-            for line in mapper.map_chunks(group, lib_pair, fastq):
-                writer(line + "\n")
-        s1.close()
-        if s2:
-            s2.close()
+
+        mapper.map_stream(files1[lib], path2, lib_pair, fastq, writer, progress)
     closer()
 
     st = mapper.stats

@@ -43,7 +43,10 @@ def check_read_format(path: str) -> bool:
 
 def _parse_header(line: bytes) -> str:
     """IdentifyHeaderBegPos/EndPos (GetData.cpp:29-49): skip leading @/>
-    (scan starts at index 1), cut at first ' ', '/' or tab."""
+    (scan starts at index 1), cut at first ' ', '/' or tab.  `line` must
+    include its trailing newline (getline semantics): the defaults of both
+    scans are len-1, i.e. the newline position, so a header with no
+    separator ends exactly before the newline."""
     n = len(line)
     p1 = n - 1
     for i in range(1, n):
@@ -80,14 +83,16 @@ class ReadStream:
         line = self._getline()
         if not line:
             return None
-        header = _parse_header(line.rstrip(b"\n"))
+        header = _parse_header(line)
         if self.fastq:
-            seq = self._getline().rstrip(b"\n")
-            self._getline()  # '+'
-            qual = self._getline().rstrip(b"\n")
-            if len(seq) == 0:
+            seq_line = self._getline()
+            rlen = len(seq_line) - 1  # reference: rlen = getline len - 1
+            if rlen <= 0:
                 return None
-            return RawRead(header, seq, qual, len(seq))
+            seq = seq_line[:rlen]
+            self._getline()  # '+'
+            qual = self._getline()[:rlen]
+            return RawRead(header, seq, qual, rlen)
         parts = []
         while True:
             line = self._getline()
@@ -96,7 +101,7 @@ class ReadStream:
             if line.startswith(b">"):
                 self._pushback = line
                 break
-            parts.append(line.rstrip(b"\n"))
+            parts.append(line[:-1])  # reference drops the last char per line
         seq = b"".join(parts)
         if len(seq) == 0:
             return None

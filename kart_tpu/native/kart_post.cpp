@@ -24,6 +24,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -1775,6 +1777,173 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Chunked FASTA/FASTQ reader (mirror of src/GetData.cpp) with one-chunk
+// prefetch: a background thread parses chunk k+1 while the caller maps
+// chunk k.  gzopen reads both plain and gzip-compressed files, matching
+// the reference's FILE*/gzFile dual paths with a single implementation.
+// ---------------------------------------------------------------------------
+
+struct GzLineReader {
+  gzFile f = nullptr;
+  std::vector<char> buf;
+  size_t pos = 0, avail = 0;
+  bool pending = false;  // FASTA '>' pushback
+  std::string pushback;
+
+  bool open(const char* path) {
+    f = gzopen(path, "rb");
+    buf.resize(1 << 20);
+    return f != nullptr;
+  }
+  void close() {
+    if (f) {
+      gzclose(f);
+      f = nullptr;
+    }
+  }
+  // One line INCLUDING the trailing '\n' when present (getline semantics,
+  // GetData.cpp GetNextEntry).  Returns length, 0 at EOF.
+  int64_t getline(std::string& out) {
+    if (pending) {
+      out = pushback;
+      pending = false;
+      return (int64_t)out.size();
+    }
+    out.clear();
+    while (true) {
+      if (pos == avail) {
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n <= 0) return (int64_t)out.size();
+        pos = 0;
+        avail = (size_t)n;
+      }
+      char* start = buf.data() + pos;
+      char* nl = (char*)memchr(start, '\n', avail - pos);
+      if (nl) {
+        out.append(start, nl - start + 1);
+        pos += (size_t)(nl - start) + 1;
+        return (int64_t)out.size();
+      }
+      out.append(start, avail - pos);
+      pos = avail;
+    }
+  }
+  void unread(const std::string& line) {
+    pushback = line;
+    pending = true;
+  }
+};
+
+struct ChunkBufs {
+  std::vector<uint8_t> seq, qual;  // concatenated bases / quality strings
+  std::string headers;             // concatenated trimmed headers
+  std::vector<int64_t> seq_off, header_off;
+  int32_t n = 0;
+  void reset() {
+    seq.clear();
+    qual.clear();
+    headers.clear();
+    seq_off.assign(1, 0);
+    header_off.assign(1, 0);
+    n = 0;
+  }
+};
+
+struct NativeReader {
+  GzLineReader f1, f2;
+  bool sep = false, fastq = true, pair_end = false;
+  int limit = 4000;  // ReadChunkSize (structure.h:21); 10 for PacBio
+  ChunkBufs bufs[2];
+  int cur = 0;
+  std::thread th;
+  bool th_active = false;
+  bool exhausted = false;
+  std::string line, seqline, qline, fa_seq;
+
+  // Parse one entry (GetNextEntry, GetData.cpp:51-107).  Appends to b and
+  // returns rlen; 0 = EOF / empty read (entry not appended).
+  int parse_entry(GzLineReader& rd, ChunkBufs& b) {
+    int64_t len = rd.getline(line);
+    if (len <= 0) return 0;
+    // IdentifyHeaderBegPos / IdentifyHeaderEndPos on the line including
+    // its '\n' (defaults len-1, i.e. the newline position)
+    int64_t p1 = len - 1, p2 = len - 1;
+    for (int64_t i = 1; i < len; i++)
+      if (line[i] != '>' && line[i] != '@') {
+        p1 = i;
+        break;
+      }
+    for (int64_t i = 1; i < len; i++)
+      if (line[i] == ' ' || line[i] == '/' || line[i] == '\t') {
+        p2 = i;
+        break;
+      }
+    int rlen = 0;
+    if (fastq) {
+      int64_t slen = rd.getline(seqline);
+      if (slen <= 0) return 0;
+      rlen = (int)(slen - 1);  // reference: rlen = getline len - 1
+      if (rlen <= 0) return 0;
+      rd.getline(qline);  // '+' separator
+      rd.getline(qline);  // quality
+      b.seq.insert(b.seq.end(), seqline.begin(), seqline.begin() + rlen);
+      if ((int64_t)qline.size() < rlen) qline.resize(rlen, '!');
+      b.qual.insert(b.qual.end(), qline.begin(), qline.begin() + rlen);
+    } else {
+      fa_seq.clear();
+      while (true) {
+        int64_t l2 = rd.getline(seqline);
+        if (l2 <= 0) break;
+        if (seqline[0] == '>') {
+          rd.unread(seqline);
+          break;
+        }
+        fa_seq.append(seqline.data(), l2 - 1);  // drop trailing '\n'
+      }
+      rlen = (int)fa_seq.size();
+      if (rlen == 0) return 0;
+      b.seq.insert(b.seq.end(), fa_seq.begin(), fa_seq.end());
+    }
+    b.headers.append(line.data() + p1, p2 - p1);
+    b.header_off.push_back((int64_t)b.headers.size());
+    b.seq_off.push_back((int64_t)b.seq.size());
+    b.n++;
+    return rlen;
+  }
+
+  // Mate-2 loaded reverse-complemented, qual reversed (GetData.cpp:125-135)
+  void revcomp_last(ChunkBufs& b) {
+    int64_t s = b.seq_off[b.n - 1], e = b.seq_off[b.n];
+    std::reverse(b.seq.begin() + s, b.seq.begin() + e);
+    for (int64_t i = s; i < e; i++) b.seq[i] = (uint8_t)COMP[b.seq[i]];
+    if (fastq) std::reverse(b.qual.begin() + s, b.qual.begin() + e);
+  }
+
+  // GetNextChunk loop (GetData.cpp:109-143)
+  void fill_chunk(ChunkBufs& b) {
+    b.reset();
+    while (true) {
+      if (parse_entry(f1, b) == 0) break;
+      if (parse_entry(sep ? f2 : f1, b) == 0) break;
+      if (pair_end) revcomp_last(b);
+      if (b.n == limit) break;
+    }
+  }
+
+  void start_prefetch() {
+    int tgt = cur ^ 1;
+    th = std::thread([this, tgt]() { fill_chunk(bufs[tgt]); });
+    th_active = true;
+  }
+  void join_prefetch() {
+    if (th_active) {
+      th.join();
+      th_active = false;
+    }
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1919,5 +2088,58 @@ int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
 }
 
 void kart_free(char* p) { free(p); }
+
+// --- chunked reader ---------------------------------------------------------
+
+void* kart_reader_open(const char* path1, const char* path2, int32_t fastq,
+                       int32_t pair_end, int32_t pacbio) {
+  NativeReader* r = new NativeReader();
+  r->fastq = fastq != 0;
+  r->pair_end = pair_end != 0;
+  r->limit = pacbio ? 10 : 4000;
+  if (!r->f1.open(path1)) {
+    delete r;
+    return nullptr;
+  }
+  r->sep = path2 != nullptr && path2[0] != '\0';
+  if (r->sep && !r->f2.open(path2)) {
+    r->f1.close();
+    delete r;
+    return nullptr;
+  }
+  r->cur = 1;          // first next_chunk flips to 0
+  r->start_prefetch();  // fills bufs[0]
+  return r;
+}
+
+// Returns n_reads (0 at end of input).  Pointers stay valid until the next
+// kart_reader_next_chunk / kart_reader_close call.  *qual is NULL for FASTA.
+int32_t kart_reader_next_chunk(void* h, const uint8_t** seq,
+                               const int64_t** seq_off, const uint8_t** qual,
+                               const char** headers, const int64_t** header_off) {
+  NativeReader* r = (NativeReader*)h;
+  if (r->exhausted) return 0;
+  r->join_prefetch();
+  r->cur ^= 1;
+  ChunkBufs& b = r->bufs[r->cur];
+  if (b.n == r->limit)
+    r->start_prefetch();  // full chunk: more may follow
+  else
+    r->exhausted = true;  // partial chunk: input ended
+  *seq = b.seq.data();
+  *seq_off = b.seq_off.data();
+  *qual = (r->fastq && !b.qual.empty()) ? b.qual.data() : nullptr;
+  *headers = b.headers.data();
+  *header_off = b.header_off.data();
+  return b.n;
+}
+
+void kart_reader_close(void* h) {
+  NativeReader* r = (NativeReader*)h;
+  r->join_prefetch();
+  r->f1.close();
+  r->f2.close();
+  delete r;
+}
 
 }  // extern "C"

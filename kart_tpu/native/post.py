@@ -22,7 +22,7 @@ def _compile_lib() -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=_BUILD_DIR)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, out)
@@ -64,6 +64,19 @@ def load_postlib():
         ctypes.POINTER(ctypes.c_char_p),
     ]
     lib.kart_free.argtypes = [ctypes.c_char_p]
+    lib.kart_reader_open.restype = ctypes.c_void_p
+    lib.kart_reader_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.kart_reader_next_chunk.restype = ctypes.c_int32
+    lib.kart_reader_next_chunk.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.kart_reader_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -78,6 +91,51 @@ def _i32p(a):
 
 def _u8p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativeReader:
+    """Native chunked FASTA/FASTQ reader with one-chunk prefetch (see
+    kart_post.cpp NativeReader; semantics of reference src/GetData.cpp).
+    Yields raw buffer pointers consumed zero-copy by
+    NativePostProcessor.process_chunk_ptrs."""
+
+    def __init__(self, path1: str, path2: str | None, fastq: bool,
+                 pair_end: bool, pacbio: bool):
+        self.lib = load_postlib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.h = self.lib.kart_reader_open(
+            path1.encode(),
+            path2.encode() if path2 else None,
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int32(1 if pair_end else 0),
+            ctypes.c_int32(1 if pacbio else 0),
+        )
+        if not self.h:
+            raise RuntimeError(f"cannot open read file: {path1} / {path2}")
+
+    def next_chunk(self):
+        """-> (n_reads, (seq, seq_off, qual, headers, header_off) raw ptrs);
+        n_reads == 0 at end of input.  Pointers are valid until the next
+        next_chunk()/close() call."""
+        seq = ctypes.c_void_p()
+        seq_off = ctypes.c_void_p()
+        qual = ctypes.c_void_p()
+        headers = ctypes.c_void_p()
+        header_off = ctypes.c_void_p()
+        n = self.lib.kart_reader_next_chunk(
+            self.h, ctypes.byref(seq), ctypes.byref(seq_off), ctypes.byref(qual),
+            ctypes.byref(headers), ctypes.byref(header_off),
+        )
+        return n, (seq, seq_off, qual, headers, header_off)
+
+    def close(self):
+        if getattr(self, "h", None):
+            self.lib.kart_reader_close(self.h)
+            self.h = None
+
+    def __del__(self):
+        self.close()
 
 
 class NativePostProcessor:
@@ -154,6 +212,42 @@ class NativePostProcessor:
             ctypes.c_int32(len(self._tb_ks)),
         )
         self.has_seed_tables = True
+
+    def process_chunk_ptrs(self, n, pair_end, fastq, ptrs, stats):
+        """Zero-copy chunk mapping from NativeReader buffers (internal
+        direct-lookup seeding; requires set_seed_tables).  Returns SAM text."""
+        seq, seq_off, qual, headers, header_off = ptrs
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        null_i32 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+        null_i64 = ctypes.cast(None, i64p)
+        st = np.array(
+            [stats["paired"], stats["distance"], stats["unique"], stats["unmapped"]],
+            dtype=np.int64,
+        )
+        out = ctypes.c_char_p()
+        size = self.lib.kart_process_chunk(
+            self.ctx,
+            ctypes.c_int32(n),
+            ctypes.c_int32(1 if pair_end else 0),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.cast(seq, i8p),
+            ctypes.cast(seq_off, i64p),
+            ctypes.cast(qual, i8p),
+            ctypes.cast(seq_off, i64p) if qual.value else null_i64,
+            ctypes.cast(headers, ctypes.c_char_p),
+            ctypes.cast(header_off, i64p),
+            null_i32, null_i32, null_i32, null_i64,
+            _i64p(st),
+            ctypes.byref(out),
+        )
+        sam = ctypes.string_at(out, size).decode("ascii")
+        self.lib.kart_free(out)
+        stats["paired"] = int(st[0])
+        stats["distance"] = int(st[1])
+        stats["unique"] = int(st[2])
+        stats["unmapped"] = int(st[3])
+        return sam
 
     def process_chunk(self, chunk, pair_end, fastq, seed_cnt, seed_rpos, seed_len,
                       seed_gpos, stats):

@@ -351,6 +351,59 @@ class KartMapper:
             out.extend(sam_text.splitlines())
         return out
 
+    def map_stream(self, path1: str, path2: str | None, pair_end: bool,
+                   fastq: bool, writer, progress=None) -> None:
+        """Map one whole library (file or file pair), streaming SAM text to
+        `writer`.  Fast path: the native chunked reader (background prefetch
+        thread, reference GetNextChunk semantics) feeding the native
+        seed/post pipeline zero-copy.  Falls back to the Python reader +
+        batched device seeding when the native engine is unavailable."""
+        if self._native_seeding_ready():
+            from ..native.post import NativeReader
+
+            reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio)
+            try:
+                while True:
+                    n, ptrs = reader.next_chunk()
+                    if n == 0:
+                        break
+                    if progress is not None:
+                        progress(self.stats["total"])
+                    writer(
+                        self.native.process_chunk_ptrs(
+                            n, pair_end, fastq, ptrs, self.stats
+                        )
+                    )
+                    self.stats["total"] += n
+            finally:
+                reader.close()
+            return
+
+        from ..io.fastq import ReadStream, next_chunk
+
+        s1 = ReadStream(path1, fastq)
+        s2 = ReadStream(path2, fastq) if path2 else None
+        try:
+            done = False
+            while not done:
+                group = []
+                while len(group) < 4:
+                    chunk = next_chunk(s1, s2, pair_end, self.pacbio)
+                    if not chunk:
+                        done = True
+                        break
+                    group.append(chunk)
+                if not group:
+                    break
+                if progress is not None:
+                    progress(self.stats["total"])
+                for line in self.map_chunks(group, pair_end, fastq):
+                    writer(line + "\n")
+        finally:
+            s1.close()
+            if s2:
+                s2.close()
+
     def _native_seeding_ready(self) -> bool:
         if self.native is None:
             return False
