@@ -22,7 +22,7 @@ def _compile_lib() -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=_BUILD_DIR)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, out)
