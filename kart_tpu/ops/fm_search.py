@@ -136,24 +136,15 @@ def inv_psi(fm: FMIndexArrays, k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
-def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
-    """Batched FastMode seeding.
-
-    reads: (B, l_max) int32 2-bit codes, padded with 4 beyond rlen.
-    rlens: (B,) int32.
-    min_seed_len: int32 scalar.
-
-    Returns dict of (B, max_seeds) arrays: rpos, slen, k0 (SA-interval
-    start), freq (0 if unrecorded), and (B,) n_seeds.
-    """
+def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max):
+    """Core batched FastMode seeding scan, parameterized over the batched
+    occ4 lookup (`occ4_b: (B,) int32 rows -> (B, 4) int32 counts`) so the
+    same scan runs against a replicated FM-index (seed_scan) or an
+    index sharded across a mesh axis (parallel.sharded_index)."""
     B = reads.shape[0]
-    L2 = fm.L2
     # extra trailing column of ambiguous codes so the last extension of every
     # read terminates (and emits its seed) inside the fixed-trip loop
     reads = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
-
-    occ4_b = jax.vmap(lambda k: occ4(fm, k))
 
     def step(p, state):
         active, start, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf = state
