@@ -157,7 +157,7 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
         tl = occ4_b(x1 - 1 + x2)
         ok_x1 = L2[None, :4] + 1 + tk
         ok_x2 = tl - tk
-        s3 = x0 + ((x1 <= fm.primary) & (x1 + x2 - 1 >= fm.primary)).astype(jnp.int32)
+        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
         s2 = s3 + ok_x2[:, 3]
         s1 = s2 + ok_x2[:, 2]
         s0 = s1 + ok_x2[:, 1]
@@ -210,6 +210,15 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
     _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf = state
     # single packed output: one device->host transfer (see kmer_seed.py)
     return jnp.concatenate([n_seeds[:, None], rpos, slen, k0f, freqf], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
+def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
+    occ4_b = jax.vmap(lambda k: occ4(fm, k))
+    return seed_scan_impl(
+        occ4_b, fm.L2, fm.primary, reads, rlens, min_seed_len,
+        max_seeds=max_seeds, l_max=l_max,
+    )
 
 
 def unpack_seed_scan(packed, max_seeds: int) -> dict:
