@@ -95,14 +95,11 @@ def _count4_word(w):
     return jax.lax.population_count(stacked).astype(jnp.int32)
 
 
-def occ4(fm: FMIndexArrays, k):
-    """bwt_occ4(k): counts of each code in bwt[0..k] (k int32 scalar,
-    0 <= k <= seq_len; the reference's k==-1 case cannot arise in our call
-    sites because x1 >= 1 always)."""
-    kk = k - (k >= fm.primary).astype(jnp.int32)
-    blk = kk >> 7
-    words = fm.bwt_words[blk]  # (8,) uint32
-    base = fm.occ_cp[blk]  # (4,) int32
+def occ4_from(words, base, kk):
+    """Block-level bwt_occ4: counts of each code in bwt[0..kk] given the
+    block's 8 BWT words and its Occ checkpoint `base` (4,).  Shared by the
+    replicated path (occ4) and the mesh-sharded path
+    (parallel.sharded_index), which source words/base differently."""
     jk = (kk & 0x7F) >> 4
     counts = _count4_word(words)  # (4, 8)
     jj = jnp.arange(8, dtype=jnp.int32)
@@ -112,6 +109,15 @@ def occ4(fm: FMIndexArrays, k):
     partial = _count4_word(words[jk] & mask)  # (4,)
     cnt = base + full + partial
     return cnt - jnp.array([1, 0, 0, 0], jnp.int32) * (~kk & 0xF)
+
+
+def occ4(fm: FMIndexArrays, k):
+    """bwt_occ4(k): counts of each code in bwt[0..k] (k int32 scalar,
+    0 <= k <= seq_len; the reference's k==-1 case cannot arise in our call
+    sites because x1 >= 1 always)."""
+    kk = k - (k >= fm.primary).astype(jnp.int32)
+    blk = kk >> 7
+    return occ4_from(fm.bwt_words[blk], fm.occ_cp[blk], kk)
 
 
 def bwt_char(fm: FMIndexArrays, x):

@@ -1,0 +1,153 @@
+"""Mesh-sharded FM-index: the "tensor parallelism" of this workload.
+
+The reference keeps one read-only index per process and shares it across
+pthreads (reference: src/Mapping.cpp:19, src/bwt_index.cpp:148).  For
+genomes whose Occ/BWT/SA arrays exceed a single chip's HBM (human scale),
+we instead shard the index block-wise across a mesh axis and answer every
+Occ/SA lookup with a masked local lookup + `psum` over that axis — the
+collective rides the ICI, exactly like a tensor-parallel matmul's
+reduce.  Reads stay data-parallel along the other mesh axis; the index
+axis sees the same query batch on every member (queries are replicated
+along `idx`), so each step costs one psum of the (B, 4) count block.
+
+All functions here are meant to be called INSIDE `shard_map` with the
+index axis in scope (see parallel.dp.make_mapping_step).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fm_search import occ4_from, seed_scan_impl
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedFM:
+    """FM-index arrays laid out for block-sharding along a mesh axis.
+
+    Global shapes (before shard_map slices them):
+      occ_cp    (n_shards*nb_local, 4) int32
+      bwt_words (n_shards*nb_local, 8) uint32
+      sa_full   (n_shards*ns_local,)   int32
+      L2        (5,)  int32   (replicated)
+      primary   ()    int32   (replicated)
+
+    Inside shard_map each member sees the local slab plus its global row
+    offset, computed from `jax.lax.axis_index`.
+    """
+
+    occ_cp: jax.Array
+    bwt_words: jax.Array
+    sa_full: jax.Array
+    L2: jax.Array
+    primary: jax.Array
+    seq_len: jax.Array
+
+    def tree_flatten(self):
+        return (
+            (self.occ_cp, self.bwt_words, self.sa_full, self.L2, self.primary, self.seq_len),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_sharded_fm(gidx, n_shards: int) -> tuple[ShardedFM, dict]:
+    """Pad the index arrays to shard-able sizes.  Returns host numpy arrays
+    wrapped in ShardedFM (device placement is the caller's job via
+    device_put with a NamedSharding) and the static shard geometry."""
+    d = gidx.device_arrays
+    occ_cp = np.asarray(d["occ_cp"])
+    bwt_words = np.asarray(d["bwt_words"])
+    sa_full = np.asarray(d["sa_full"])
+
+    nb = occ_cp.shape[0]
+    nb_local = -(-nb // n_shards)
+    pad_b = nb_local * n_shards - nb
+    occ_cp = np.pad(occ_cp, ((0, pad_b), (0, 0)))
+    bwt_words = np.pad(bwt_words, ((0, pad_b), (0, 0)))
+
+    ns = sa_full.shape[0]
+    ns_local = -(-ns // n_shards)
+    pad_s = ns_local * n_shards - ns
+    sa_full = np.pad(sa_full, (0, pad_s))
+
+    sfm = ShardedFM(
+        occ_cp=occ_cp,
+        bwt_words=bwt_words,
+        sa_full=sa_full,
+        L2=np.asarray(d["L2"]),
+        primary=np.asarray(d["primary"]),
+        seq_len=np.asarray(d["seq_len"]),
+    )
+    geom = dict(nb_local=nb_local, ns_local=ns_local)
+    return sfm, geom
+
+
+def sharded_occ4_batch(sfm_local: ShardedFM, nb_local: int, axis: str, k):
+    """occ4 for a batch of rows k (B,) against the block-sharded index.
+    Must run inside shard_map with mesh axis `axis`.  Each member answers
+    the queries that fall in its slab; psum combines (exactly one owner
+    per query)."""
+    shard = jax.lax.axis_index(axis)
+    lo = shard.astype(jnp.int32) * nb_local
+
+    def one(kq):
+        kk = kq - (kq >= sfm_local.primary).astype(jnp.int32)
+        blk = kk >> 7
+        row = blk - lo
+        mine = (row >= 0) & (row < nb_local)
+        rc = jnp.clip(row, 0, nb_local - 1)
+        cnt = occ4_from(sfm_local.bwt_words[rc], sfm_local.occ_cp[rc], kk)
+        return jnp.where(mine, cnt, 0)
+
+    local = jax.vmap(one)(k)  # (B, 4)
+    return jax.lax.psum(local, axis)
+
+
+def sharded_sa_gather(sa_local, ns_local: int, axis: str, rows):
+    """sa_full[rows] with sa_full block-sharded along `axis` (inside
+    shard_map): masked local gather + psum."""
+    shard = jax.lax.axis_index(axis)
+    lo = shard.astype(jnp.int32) * ns_local
+    r = rows - lo
+    mine = (r >= 0) & (r < ns_local)
+    vals = sa_local[jnp.clip(r, 0, ns_local - 1)]
+    return jax.lax.psum(jnp.where(mine, vals, 0), axis)
+
+
+def sharded_seed_scan(
+    sfm_local: ShardedFM,
+    nb_local: int,
+    axis: str,
+    reads,
+    rlens,
+    min_seed_len,
+    *,
+    max_seeds: int,
+    l_max: int,
+):
+    """FastMode seeding scan against the sharded index (inside shard_map).
+    Identical output to ops.fm_search.seed_scan on the replicated index;
+    every scan step performs two sharded occ4 batches (one psum each)."""
+
+    def occ4_b(k):
+        return sharded_occ4_batch(sfm_local, nb_local, axis, k)
+
+    return seed_scan_impl(
+        occ4_b,
+        sfm_local.L2,
+        sfm_local.primary,
+        reads,
+        rlens,
+        min_seed_len,
+        max_seeds=max_seeds,
+        l_max=l_max,
+    )

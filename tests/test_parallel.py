@@ -1,0 +1,186 @@
+"""Sharded-index / data-parallel / merge tests (8 fake CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def tiny_gidx():
+    import __graft_entry__ as g
+
+    return g._tiny_index()
+
+
+@pytest.fixture(scope="module")
+def fm_repl(tiny_gidx):
+    from kart_tpu.ops.fm_search import FMIndexArrays
+
+    return FMIndexArrays.from_genome_index(tiny_gidx)
+
+
+def _reads(gidx, b, rlen, seed=0):
+    import __graft_entry__ as g
+
+    return g._example_reads(gidx, b, rlen, seed)
+
+
+def test_sharded_occ4_matches_replicated(tiny_gidx, fm_repl):
+    from kart_tpu.ops.fm_search import occ4
+    from kart_tpu.parallel import ShardedFM, build_sharded_fm, sharded_occ4_batch
+    from kart_tpu.parallel.dp import ShardedFMSpecs
+
+    n_idx = 4
+    mesh = Mesh(np.array(jax.devices("cpu")[:n_idx]), ("idx",))
+    sfm_host, geom = build_sharded_fm(tiny_gidx, n_idx)
+    sfm = jax.tree.map(jnp.asarray, sfm_host)
+    sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx", None)))
+    sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx", None)))
+    sfm.sa_full = jax.device_put(sfm.sa_full, NamedSharding(mesh, P("idx")))
+
+    rng = np.random.default_rng(0)
+    ks = jnp.asarray(rng.integers(1, tiny_gidx.seq_len, size=256).astype(np.int32))
+
+    want = np.asarray(jax.vmap(lambda k: occ4(fm_repl, k))(ks))
+
+    got = jax.jit(
+        jax.shard_map(
+            lambda s, k: sharded_occ4_batch(s, geom["nb_local"], "idx", k),
+            mesh=mesh,
+            in_specs=(ShardedFMSpecs("idx"), P()),
+            out_specs=P(),
+        )
+    )(sfm, ks)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sharded_seed_scan_matches_replicated(tiny_gidx, fm_repl):
+    from kart_tpu.ops.fm_search import seed_scan
+    from kart_tpu.parallel import make_mapping_step, make_data_mesh
+
+    rlen, min_seed = 48, 13
+    max_seeds = rlen // (min_seed + 1) + 1
+    B = 16
+    reads, rlens = _reads(tiny_gidx, B, rlen, seed=3)
+    # inject mismatches so seeds split
+    reads[:, rlen // 2] = (reads[:, rlen // 2] + 1) % 4
+
+    want = np.asarray(
+        seed_scan(
+            fm_repl,
+            jnp.asarray(reads),
+            jnp.asarray(rlens),
+            jnp.int32(min_seed),
+            max_seeds=max_seeds,
+            l_max=rlen,
+        )
+    )
+
+    mesh = make_data_mesh(2, 4)
+    step, place = make_mapping_step(
+        mesh, tiny_gidx, idx_axis="idx",
+        min_seed_len=min_seed, max_seeds=max_seeds, l_max=rlen,
+    )
+    packed, locs, total = step(*place(reads, rlens))
+    np.testing.assert_array_equal(np.asarray(packed), want)
+    assert int(total) == int(want[:, 0].sum())
+    # SA resolution matches the replicated full-SA gather
+    k0 = want[:, 1 + 2 * max_seeds : 1 + 3 * max_seeds]
+    np.testing.assert_array_equal(
+        np.asarray(locs), np.asarray(fm_repl.sa_full)[k0]
+    )
+
+
+def test_data_parallel_step_replicated_index(tiny_gidx, fm_repl):
+    from kart_tpu.ops.fm_search import seed_scan
+    from kart_tpu.parallel import make_mapping_step, make_data_mesh
+
+    rlen, min_seed = 48, 13
+    max_seeds = rlen // (min_seed + 1) + 1
+    B = 32
+    reads, rlens = _reads(tiny_gidx, B, rlen, seed=5)
+    want = np.asarray(
+        seed_scan(
+            fm_repl,
+            jnp.asarray(reads),
+            jnp.asarray(rlens),
+            jnp.int32(min_seed),
+            max_seeds=max_seeds,
+            l_max=rlen,
+        )
+    )
+    mesh = make_data_mesh(8)
+    step, place = make_mapping_step(
+        mesh, tiny_gidx, min_seed_len=min_seed, max_seeds=max_seeds, l_max=rlen
+    )
+    packed, locs, total = step(*place(reads, rlens))
+    np.testing.assert_array_equal(np.asarray(packed), want)
+    assert int(total) == int(want[:, 0].sum())
+
+
+def test_ordered_chunk_writer():
+    import random
+
+    from kart_tpu.parallel import OrderedChunkWriter
+
+    out = []
+    w = OrderedChunkWriter(out.append)
+    order = list(range(50))
+    random.Random(7).shuffle(order)
+    for i in order:
+        w.push(i, f"chunk{i};")
+    w.close()
+    assert "".join(out) == "".join(f"chunk{i};" for i in range(50))
+
+
+def test_ordered_chunk_writer_missing():
+    from kart_tpu.parallel import OrderedChunkWriter
+
+    w = OrderedChunkWriter(lambda s: None)
+    w.push(1, "x")
+    with pytest.raises(RuntimeError):
+        w.close()
+
+
+def test_fastq_byte_ranges_partition(tmp_path):
+    from kart_tpu.parallel import fastq_record_offsets
+
+    # quality lines deliberately start with '@' to stress record detection
+    p = tmp_path / "reads.fq"
+    recs = []
+    rng = np.random.default_rng(11)
+    for i in range(97):
+        L = int(rng.integers(30, 90))
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        qual = "@" * L
+        recs.append(f"@read{i} x\n{seq}\n+\n{qual}\n")
+    p.write_text("".join(recs))
+
+    for n_shards in (1, 2, 3, 8):
+        ranges = fastq_record_offsets(str(p), n_shards, fastq=True)
+        text = p.read_bytes()
+        assert ranges[0][0] == 0 and ranges[-1][1] == len(text)
+        got = []
+        for lo, hi in ranges:
+            part = text[lo:hi].decode()
+            assert part == "" or part.startswith("@read")
+            got.append(part)
+        assert "".join(got) == text.decode()
+        # each shard contains whole records
+        for part in got:
+            assert part.count("\n") % 4 == 0
+
+
+def test_merge_sam_shards(tmp_path):
+    from kart_tpu.parallel import merge_sam_shards
+
+    a = tmp_path / "a.sam"
+    b = tmp_path / "b.sam"
+    a.write_text("@HD\tVN:1.0\n@SQ\tSN:c\tLN:9\nr1\t0\nr2\t0\n")
+    b.write_text("@HD\tVN:1.0\n@SQ\tSN:c\tLN:9\nr3\t0\n")
+    out = tmp_path / "m.sam"
+    merge_sam_shards([str(a), str(b)], str(out))
+    assert out.read_text() == "@HD\tVN:1.0\n@SQ\tSN:c\tLN:9\nr1\t0\nr2\t0\nr3\t0\n"
