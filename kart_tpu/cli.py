@@ -59,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     silent = False
     debug = False
     use_device = True
+    backend = "native"
     out_name = "output.sam"
     out_format = 0
     index_name = None
@@ -108,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
             debug = True
         elif p == "-cpu":
             use_device = False
+        elif p == "-backend" and i + 1 < len(args):
+            # undocumented: native (default) | python — force the pipeline
+            # implementation (python exercises the device kernels end-to-end)
+            i += 1
+            backend = args[i]
         elif p in ("-v", "--version"):
             print(f"kart-tpu v{VERSION}\n")
             return 0
@@ -153,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
         max_gaps=max_gaps,
         multi_hit=multi_hit,
         use_device=use_device,
+        backend=backend,
     )
 
     if out_format == 0:

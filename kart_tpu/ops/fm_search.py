@@ -239,6 +239,134 @@ def unpack_seed_scan(packed, max_seeds: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Seeding scan (SensitiveMode, PacBio)
+# ---------------------------------------------------------------------------
+
+
+def sensitive_scan_impl(
+    occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max
+):
+    """Batched SensitiveMode seeding (IdentifySeedPairs_SensitiveMode,
+    reference src/AlignmentCandidates.cpp:132-169 + BWT_Search
+    src/bwt_search.cpp:140-184).
+
+    Differences from the FastMode scan that force a while_loop with a
+    per-lane position (instead of a fixed one-position-per-trip scan):
+
+      * extensions are windowed to 30 bp (stop_pos == min(pos+30, rlen));
+      * a successful seed restarts the next extension AT the end position
+        (pos += len), not one past it;
+      * a failed seed (len < MinSeedLength, or freq > OCC_Thr) advances by
+        MinSeedLength from the seed START — which can be BEHIND the
+        current scan position when a long extension was too frequent.
+
+    Every loop trip consumes one base of some extension per lane; lanes
+    exit when pos >= rlen - MinSeedLength with no active extension.  Trip
+    count is bounded by ~(31/MinSeedLength)*rlen; the loop exits as soon
+    as every lane is done.
+
+    Returns the same packed (B, 1 + 4*max_seeds) layout as seed_scan:
+    [n_seeds | rpos | len | k0 | freq] with seeds in emission (rpos) order.
+    """
+    B = reads.shape[0]
+    reads = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
+    L = reads.shape[1] - 1
+    end_pos = rlens - min_seed_len
+    bidx = jnp.arange(B)
+
+    z = rlens * 0
+    zb = rlens < 0
+    zs = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
+    # state: p, active, s, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf
+    state = (z, zb, z, z, z + 1, z, z, zs, zs, zs, zs, jnp.int32(0))
+    max_trips = 31 * (l_max // jnp.maximum(min_seed_len, 1) + 2)
+
+    def cond(st):
+        p, active, *_, it = st
+        done = (~active) & (p >= end_pos)
+        return (~jnp.all(done)) & (it < max_trips)
+
+    def body(st):
+        p, active, s, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf, it = st
+        done = (~active) & (p >= end_pos)
+        pc = jnp.minimum(p, L)
+        c = jnp.take_along_axis(reads, pc[:, None], axis=1)[:, 0]
+        amb = c > 3
+        c_safe = jnp.minimum(c, 3)
+        stop = jnp.minimum(s + 30, rlens)
+
+        # --- uniform extension attempt (clamped rows for inactive lanes) ---
+        x1s = jnp.maximum(x1, 1)
+        tk = occ4_b(x1s - 1)
+        tl = occ4_b(x1s - 1 + jnp.maximum(x2, 0))
+        ok_x1 = L2[None, :4] + 1 + tk
+        ok_x2 = tl - tk
+        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
+        s2_ = s3 + ok_x2[:, 3]
+        s1_ = s2_ + ok_x2[:, 2]
+        s0_ = s1_ + ok_x2[:, 1]
+        ok_x0 = jnp.stack([s0_, s1_, s2_, s3], axis=1)
+        i = 3 - c_safe
+        nx0 = ok_x0[bidx, i]
+        nx1 = ok_x1[bidx, i]
+        nx2 = ok_x2[bidx, i]
+
+        at_stop = p >= stop
+        ext_fail = active & (amb | at_stop | (nx2 == 0))
+
+        # --- seed emission on extension end ---
+        length = p - s
+        freq_ok = (length >= min_seed_len) & (x2 <= OCC_THR)
+        record = ext_fail & freq_ok & (n_seeds < max_seeds)
+        slot = jnp.where(record, n_seeds, max_seeds)
+        rpos = rpos.at[bidx, slot].set(s, mode="drop")
+        slen = slen.at[bidx, slot].set(length, mode="drop")
+        k0f = k0f.at[bidx, slot].set(x0, mode="drop")
+        freqf = freqf.at[bidx, slot].set(x2, mode="drop")
+        n_seeds = n_seeds + record.astype(jnp.int32)
+
+        # --- next state ---
+        cont = active & ~ext_fail
+        # restart position: at p on success, s+min_seed on failure
+        fail_restart = ext_fail & ~freq_ok
+        # lanes idle at p (never-started or just ended successfully) may
+        # start a new extension at p this trip
+        startable = (~done) & (~cont) & (~fail_restart) & (~amb) & (p < end_pos)
+        init_x0 = L2[c_safe] + 1
+        init_x1 = L2[3 - c_safe] + 1
+        init_x2 = L2[c_safe + 1] - L2[c_safe]
+
+        new_active = cont | startable
+        new_s = jnp.where(startable, p, s)
+        new_x0 = jnp.where(cont, nx0, jnp.where(startable, init_x0, x0))
+        new_x1 = jnp.where(cont, nx1, jnp.where(startable, init_x1, x1))
+        new_x2 = jnp.where(cont, nx2, jnp.where(startable, init_x2, x2))
+        # position: advance by 1 while extending/starting/skipping an
+        # ambiguous or spent base; jump to s+min_seed on failed seed
+        new_p = jnp.where(
+            fail_restart, s + min_seed_len, jnp.where(done, p, p + 1)
+        )
+        new_active = new_active & ~fail_restart
+        return (
+            new_p, new_active, new_s, new_x0, new_x1, new_x2,
+            n_seeds, rpos, slen, k0f, freqf, it + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf, _ = state
+    return jnp.concatenate([n_seeds[:, None], rpos, slen, k0f, freqf], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
+def sensitive_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
+    occ4_b = jax.vmap(lambda k: occ4(fm, k))
+    return sensitive_scan_impl(
+        occ4_b, fm.L2, fm.primary, reads, rlens, min_seed_len,
+        max_seeds=max_seeds, l_max=l_max,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Suffix-array resolution
 # ---------------------------------------------------------------------------
 

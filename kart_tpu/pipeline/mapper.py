@@ -14,7 +14,13 @@ from ..index.format import NT4_TABLE
 from ..index.loader import GenomeIndex
 from ..io.fastq import RawRead
 from ..ops.fm_ref import fm_from_genome_index
-from ..ops.fm_search import FMIndexArrays, sa_resolve_full, seed_scan, unpack_seed_scan
+from ..ops.fm_search import (
+    FMIndexArrays,
+    sa_resolve_full,
+    seed_scan,
+    sensitive_scan,
+    unpack_seed_scan,
+)
 from .candidates import (
     Candidate,
     Seed,
@@ -34,6 +40,8 @@ from .sam import evaluate_mapq, output_paired, output_single, set_paired_flags, 
 
 _B_BUCKETS = [2048, 16000]  # few variants: each (B, l_max) pair is a separate XLA compile
 _L_BUCKETS = [64, 128, 160, 256, 384, 512]
+_PB_B_BUCKETS = [16]  # PacBio chunk = 10 reads (GetData.cpp:140)
+_PB_L_BUCKETS = [512, 1024, 2048, 4096, 8192, 16384, 32768]
 
 
 def compute_min_seed_length(two_genome_size: int) -> int:
@@ -249,10 +257,13 @@ class KartMapper:
         cnts = f.sum(axis=1).astype(np.int32)
         return cnts, rp_flat, ln_flat, locs
 
-    def _seeds_to_lists(self, n, flat) -> list[list[Seed]]:
-        """Flat seed arrays -> per-read PosDiff-sorted Seed lists (the
-        python-backend representation)."""
+    def _seeds_to_lists(self, n, flat, key=None) -> list[list[Seed]]:
+        """Flat seed arrays -> per-read sorted Seed lists (the
+        python-backend representation).  Default sort: PosDiff (FastMode);
+        PacBio passes key=(gpos, rpos) (CompByGenomePos)."""
         cnts, rp, ln, gp = flat
+        if key is None:
+            key = lambda s: (s.posdiff, s.rpos)
         result: list[list[Seed]] = []
         base = 0
         for i in range(n):
@@ -261,10 +272,61 @@ class KartMapper:
                      int(ln[base + t]), int(gp[base + t]) - int(rp[base + t]))
                 for t in range(int(cnts[i]))
             ]
-            seeds.sort(key=lambda s: (s.posdiff, s.rpos))
+            seeds.sort(key=key)
             result.append(seeds)
             base += int(cnts[i])
         return result
+
+    def _seed_sensitive_batch_flat(self, enc_reads: list[np.ndarray]):
+        """Batched device SensitiveMode seeding -> flat (cnts, rpos, len,
+        gpos) arrays in emission x occurrence order (the order
+        IdentifySeedPairs_SensitiveMode pushes, before its gPos sort)."""
+        n = len(enc_reads)
+        empty = (
+            np.zeros(n, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int64),
+        )
+        if n == 0:
+            return empty
+        rlens = np.array([len(e) for e in enc_reads], dtype=np.int32)
+        l_max = _bucket(int(rlens.max()), _PB_L_BUCKETS)
+        B = _bucket(n, _PB_B_BUCKETS)
+        reads = np.full((B, l_max), 4, dtype=np.int32)
+        for i, e in enumerate(enc_reads):
+            reads[i, : len(e)] = e[:l_max]
+        rl = np.zeros(B, dtype=np.int32)
+        rl[:n] = np.minimum(rlens, l_max)
+        max_seeds = l_max // self.min_seed_len + 2
+        packed = np.asarray(
+            sensitive_scan(
+                self.fm_dev,
+                reads,
+                rl,
+                np.int32(self.min_seed_len),
+                max_seeds=max_seeds,
+                l_max=l_max,
+            )
+        )[:n]
+        out = unpack_seed_scan(packed, max_seeds)
+        n_seeds, rpos, slen = out["n_seeds"], out["rpos"], out["slen"]
+        k0, freq = out["k0"], out["freq"]
+        sidx = np.arange(max_seeds)[None, :] < n_seeds[:, None]
+        f = np.where(sidx, freq, 0)
+        reps = f.reshape(-1)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        base = np.repeat(k0.reshape(-1), reps)
+        cum = np.cumsum(reps)
+        offs = np.arange(total) - np.repeat(cum - reps, reps)
+        rows = (base + offs).astype(np.int32)
+        locs = self.sa_full_np[rows].astype(np.int64)
+        rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
+        ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
+        cnts = f.sum(axis=1).astype(np.int32)
+        return cnts, rp_flat, ln_flat, locs
 
     def _seed_sensitive_flat(self, enc: np.ndarray):
         """SensitiveMode seeding (IdentifySeedPairs_SensitiveMode,
@@ -424,16 +486,22 @@ class KartMapper:
             self.stats["total"] += n
             return sam_text.splitlines()
         if self.pacbio:
-            cnts = np.zeros(n, np.int32)
-            rp, ln, gp = [], [], []
-            for i, r in enumerate(chunk):
-                tuples = self._seed_sensitive_flat(self._encode(r.seq))
-                cnts[i] = len(tuples)
-                for a, b, c in tuples:
-                    rp.append(a)
-                    ln.append(b)
-                    gp.append(c)
-            flat = (cnts, np.array(rp, np.int32), np.array(ln, np.int32), np.array(gp, np.int64))
+            if self.use_device:
+                flat = self._seed_sensitive_batch_flat([self._encode(r.seq) for r in chunk])
+            else:
+                cnts = np.zeros(n, np.int32)
+                rp, ln, gp = [], [], []
+                for i, r in enumerate(chunk):
+                    tuples = self._seed_sensitive_flat(self._encode(r.seq))
+                    cnts[i] = len(tuples)
+                    for a, b, c in tuples:
+                        rp.append(a)
+                        ln.append(b)
+                        gp.append(c)
+                flat = (
+                    cnts, np.array(rp, np.int32), np.array(ln, np.int32),
+                    np.array(gp, np.int64),
+                )
         else:
             flat = self._seed_batch_flat([self._encode(r.seq) for r in chunk])
         use_pairs = pair_end and n % 2 == 0 and not self.pacbio
@@ -449,10 +517,14 @@ class KartMapper:
         my = dict(unique=0, unmapped=0, paired=0, distance=0)
         if self.pacbio:
             states = []
-            for r in chunk:
+            seeds_dev = None
+            if self.use_device:
+                flat = self._seed_sensitive_batch_flat([self._encode(r.seq) for r in chunk])
+                seeds_dev = self._seeds_to_lists(n, flat, key=lambda s: (s.gpos, s.rpos))
+            for ri, r in enumerate(chunk):
                 st = self._make_state(r)
                 enc = self._encode(r.seq)
-                seeds = self._seed_sensitive(enc)
+                seeds = seeds_dev[ri] if seeds_dev is not None else self._seed_sensitive(enc)
                 cands = gen_candidates_pacbio(r.rlen, seeds)
                 remove_redundant_candidates(cands, pacbio=True)
                 gen_mapping_report(

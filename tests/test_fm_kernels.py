@@ -116,3 +116,85 @@ def test_seed_scan_variable_lengths(tiny_index):
             locs = np.asarray(sa_resolve_full(fm_dev.sa_full, rows.astype(np.int32)))
             got += [(int(out["rpos"][i, s]), int(out["slen"][i, s]), int(l)) for l in locs]
         assert got == expected, f"read {i} len {L}"
+
+
+def _simulate_long_reads(gidx, n, lens, err=0.10, seed=9):
+    """PacBio-like reads: substitutions + indels at `err` total rate."""
+    rng = np.random.default_rng(seed)
+    codes = gidx.ref_codes
+    reads = []
+    for i in range(n):
+        L = int(lens[i % len(lens)])
+        p = rng.integers(0, gidx.two_genome_size - 2 * L)
+        frag = list(codes[p : p + int(L * 1.2)].astype(np.int32))
+        out = []
+        j = 0
+        while j < len(frag) and len(out) < L:
+            r = rng.random()
+            if r < err * 0.5:  # substitution
+                out.append(int((frag[j] + rng.integers(1, 4)) % 4))
+                j += 1
+            elif r < err * 0.75:  # deletion from read
+                j += 1
+            elif r < err:  # insertion into read
+                out.append(int(rng.integers(0, 4)))
+            else:
+                out.append(int(frag[j]))
+                j += 1
+        while len(out) < L:
+            out.append(int(rng.integers(0, 4)))
+        reads.append(np.array(out[:L], dtype=np.int32))
+    return reads
+
+
+def test_sensitive_scan_matches_host(tiny_index):
+    """Device SensitiveMode seeding == host BWT_Search walk (reference
+    semantics: 30bp window, restart-at-end on success, MinSeedLength jump
+    from seed start on failure incl. the freq>OCC_Thr rewind case)."""
+    import jax.numpy as jnp
+
+    from kart_tpu.ops.fm_search import sensitive_scan
+    from kart_tpu.pipeline.mapper import KartMapper
+
+    min_seed = 13
+    fm_dev = FMIndexArrays.from_genome_index(tiny_index)
+    mapper = KartMapper(tiny_index, pacbio=True, use_device=False, backend="python")
+
+    lens = [220, 300, 410]
+    enc_reads = _simulate_long_reads(tiny_index, 12, lens)
+    # add an ambiguous-base read and an all-random read
+    enc_reads[3][50:55] = 4
+    rng = np.random.default_rng(1)
+    enc_reads[7] = rng.integers(0, 4, size=len(enc_reads[7])).astype(np.int32)
+
+    l_max = max(len(e) for e in enc_reads)
+    B = len(enc_reads)
+    reads = np.full((B, l_max), 4, dtype=np.int32)
+    rlens = np.zeros(B, np.int32)
+    for i, e in enumerate(enc_reads):
+        reads[i, : len(e)] = e
+        rlens[i] = len(e)
+    max_seeds = l_max // min_seed + 2
+
+    packed = np.asarray(
+        sensitive_scan(
+            fm_dev,
+            jnp.asarray(reads),
+            jnp.asarray(rlens),
+            jnp.int32(min_seed),
+            max_seeds=max_seeds,
+            l_max=l_max,
+        )
+    )
+    out = unpack_seed_scan(packed, max_seeds)
+    sa_full = np.asarray(fm_dev.sa_full)
+
+    for i, enc in enumerate(enc_reads):
+        want = mapper._seed_sensitive_flat(enc)  # [(rpos, len, gpos)...]
+        got = []
+        for t in range(int(out["n_seeds"][i])):
+            rp, ln = int(out["rpos"][i][t]), int(out["slen"][i][t])
+            k0, fq = int(out["k0"][i][t]), int(out["freq"][i][t])
+            for o in range(fq):
+                got.append((rp, ln, int(sa_full[k0 + o])))
+        assert got == want, f"read {i}: {got[:5]} vs {want[:5]}"

@@ -122,3 +122,15 @@ def test_pacbio(golden):
 def test_max_gaps_flag(golden):
     args = ["-f", str(golden / "r1.fq"), "-g", "2"]
     run_both(golden, args, args, "g2")
+
+
+def test_pacbio_device_seeding(golden):
+    """PacBio path with batched DEVICE sensitive seeding (python pipeline)."""
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pb_dev")
+
+
+def test_paired_end_device_seeding(golden):
+    """Illumina PE with batched DEVICE FastMode seeding (python pipeline)."""
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pe_dev")
