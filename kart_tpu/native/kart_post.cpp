@@ -26,7 +26,56 @@
 
 #include <zlib.h>
 
+#include <atomic>
+#include <ctime>
+
+#include <sys/mman.h>
+
 namespace {
+
+// Back the big random-access tables (13-mer table, suffix array, genome
+// text) with 2MB pages: the 13-mer direct table alone is 4^13*4B = 268MB,
+// so every lookup is a TLB miss on 4KB pages.  THP here is madvise-mode;
+// MADV_COLLAPSE (Linux 6.1+) collapses the already-faulted numpy pages
+// synchronously.
+#ifndef MADV_COLLAPSE
+#define MADV_COLLAPSE 25
+#endif
+static void hint_hugepages(const void* p, size_t len) {
+  uintptr_t a = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+  uintptr_t e = ((uintptr_t)p + len) & ~(uintptr_t)4095;
+  if (e <= a) return;
+  madvise((void*)a, e - a, MADV_HUGEPAGE);
+  madvise((void*)a, e - a, MADV_COLLAPSE);  // best-effort; EINVAL is fine
+}
+
+// --- stage profiling (KART_PROF=1): ns accumulators dumped at ctx destroy ---
+struct Prof {
+  std::atomic<int64_t> seed{0}, cand{0}, pair{0}, report{0}, fmt{0}, reads{0};
+};
+static Prof g_prof;
+static bool prof_on() {
+  static int v = [] {
+    const char* e = getenv("KART_PROF");
+    return e && *e == '1';
+  }();
+  return v;
+}
+static inline int64_t now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+static void prof_dump() {
+  int64_t n = g_prof.reads.load();
+  if (!n) return;
+  fprintf(stderr,
+          "[kart_prof] reads=%lld  per-read ns (summed over threads): "
+          "seed=%lld cand=%lld pair=%lld report=%lld fmt=%lld\n",
+          (long long)n, (long long)(g_prof.seed / n), (long long)(g_prof.cand / n),
+          (long long)(g_prof.pair / n), (long long)(g_prof.report / n),
+          (long long)(g_prof.fmt / n));
+}
 
 // ---------------------------------------------------------------------------
 // Basic tables
@@ -34,6 +83,41 @@ namespace {
 
 static uint8_t NT4[256];
 static char COMP[256];
+
+// Word-at-a-time sequence compares (hot in seeding LCPs and the conquer
+// mismatch fast path).
+
+static int count_mismatches(const char* a, const char* b, int len) {
+  // count nonzero bytes of a^b (SWAR zero-byte trick)
+  int c = 0, i = 0;
+  const uint64_t L7 = 0x7F7F7F7F7F7F7F7FULL, H8 = 0x8080808080808080ULL;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t x, y;
+    memcpy(&x, a + i, 8);
+    memcpy(&y, b + i, 8);
+    uint64_t d = x ^ y;
+    if (!d) continue;
+    uint64_t t = ~(((d & L7) + L7) | d | L7);  // 0x80 per ZERO byte
+    c += 8 - __builtin_popcountll(t & H8);
+  }
+  for (; i < len; i++)
+    if (a[i] != b[i]) c++;
+  return c;
+}
+
+// Longest common prefix of a[0..maxl) and b[0..maxl), 8 bytes at a time.
+static inline int lcp_bytes(const int8_t* a, const int8_t* b, int maxl) {
+  int l = 0;
+  for (; l + 8 <= maxl; l += 8) {
+    uint64_t x, y;
+    memcpy(&x, a + l, 8);
+    memcpy(&y, b + l, 8);
+    uint64_t d = x ^ y;
+    if (d) return l + (__builtin_ctzll(d) >> 3);
+  }
+  while (l < maxl && a[l] == b[l]) l++;
+  return l;
+}
 
 struct TableInit {
   TableInit() {
@@ -133,8 +217,7 @@ static int extend_at(const Ctx& ctx, const int8_t* enc, int rlen, int pos, int s
       if (loc > last_valid) continue;
       int maxl = l_cap;
       if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-      int l = 0;
-      while (l < maxl && enc[pos + l] == text[loc + l]) l++;
+      int l = lcp_bytes(enc + pos, text + loc, maxl);
       if (l > best) {
         best = l;
         max_locs.clear();
@@ -239,8 +322,7 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
         if (loc > last_valid) continue;  // bogus short-suffix entry
         int maxl = rlen - pos;
         if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-        int l = 0;
-        while (l < maxl && enc[pos + l] == text[loc + l]) l++;
+        int l = lcp_bytes(enc.data() + pos, text + loc, maxl);
         if (l > best) {
           best = l;
           max_locs.clear();
@@ -791,12 +873,6 @@ static void simple_pairs_from_fragment_pair(int max_dist, const char* f1, int l1
 // Conquer (pipeline/conquer.py / reference tools.cpp)
 // ---------------------------------------------------------------------------
 
-static int count_mismatches(const char* a, const char* b, int len) {
-  int c = 0;
-  for (int i = 0; i < len; i++)
-    if (a[i] != b[i]) c++;
-  return c;
-}
 
 static int add_new_cigar_elements(const std::string& a1, const std::string& a2,
                                   Cigar& cigar) {
@@ -905,24 +981,24 @@ static int process_normal(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cig
       cigar.push_back({sp.glen, 'D'});
     return 0;
   }
-  std::string f1((const char*)seq + sp.rpos, sp.rlen);
-  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   if (sp.rlen == sp.glen) {
-    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    int n = count_mismatches((const char*)seq + sp.rpos,
+                             (const char*)c.ref_seq + sp.gpos, sp.rlen);
     if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
       cigar.push_back({sp.rlen, 'M'});
       return sp.rlen - n;
     }
   }
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
   return add_new_cigar_elements(f1, f2, cigar);
 }
 
 static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
-  std::string f1((const char*)seq + sp.rpos, sp.rlen);
-  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   if (!c.pacbio && sp.rlen == sp.glen) {
-    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    int n = count_mismatches((const char*)seq + sp.rpos,
+                             (const char*)c.ref_seq + sp.gpos, sp.rlen);
     if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
       cigar.push_back({sp.rlen, 'M'});
       return sp.rlen - n;
@@ -932,6 +1008,8 @@ static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar
     cigar.push_back({sp.rlen, 'S'});
     return 0;
   }
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
   if (!check_local_alignment_quality(f1, f2)) {
     cigar.push_back({sp.rlen, 'S'});
@@ -958,10 +1036,9 @@ static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar
 }
 
 static int process_tail(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
-  std::string f1((const char*)seq + sp.rpos, sp.rlen);
-  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   if (!c.pacbio && sp.rlen == sp.glen) {
-    int n = count_mismatches(f1.c_str(), f2.c_str(), sp.rlen);
+    int n = count_mismatches((const char*)seq + sp.rpos,
+                             (const char*)c.ref_seq + sp.gpos, sp.rlen);
     if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
       cigar.push_back({sp.rlen, 'M'});
       return sp.rlen - n;
@@ -971,6 +1048,8 @@ static int process_tail(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar
     cigar.push_back({sp.rlen, 'S'});
     return 0;
   }
+  std::string f1((const char*)seq + sp.rpos, sp.rlen);
+  std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
   if (!check_local_alignment_quality(f1, f2)) {
     cigar.push_back({sp.rlen, 'S'});
@@ -1729,37 +1808,66 @@ static void collect_seeds(const Ctx& ctx, const ChunkIn& in, int i, int64_t base
     });
 }
 
+static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st,
+                          std::string& out);
+static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fastq,
+                          OutStats& st, std::string& out);
+
+// Each worker maps AND formats its read range into its own buffer (the
+// reference's OutputLock serialization becomes an in-order concat of
+// per-thread buffers; record order is identical).
 static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
                                const std::vector<int64_t>& seed_base, int64_t est,
-                               int lo, int hi, std::vector<ReadState>& states) {
+                               int lo, int hi, std::vector<ReadState>& states,
+                               OutStats& ost, std::string& out) {
   std::vector<Seed> seeds1, seeds2;
+  bool prof = prof_on();
+  int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0, t4 = 0, t5 = 0;
+  out.reserve((size_t)(hi - lo) * 200);
   for (int i = lo; i < hi; i += 2) {
     int j = i + 1;
     ReadState& st1 = states[i];
     ReadState& st2 = states[j];
+    if (prof) t0 = now_ns();
     collect_seeds(ctx, in, i, seed_base[i], seeds1);
     collect_seeds(ctx, in, j, seed_base[j], seeds2);
+    if (prof) t1 = now_ns();
     std::vector<Cand> cands1, cands2;
     gen_candidates_illumina(ctx, st1.rlen, seeds1, cands1);
     gen_candidates_illumina(ctx, st2.rlen, seeds2, cands2);
+    if (prof) t2 = now_ns();
     bool pairing = check_paired_candidates(ctx, est, cands1, cands2);
     if (!pairing) pairing = rescue_unpaired(ctx, est, st1, st2, cands1, cands2);
     if (pairing) remove_unmated(cands1, cands2);
     remove_redundant(cands1, false);
     remove_redundant(cands2, false);
+    if (prof) t3 = now_ns();
     gen_mapping_report(ctx, true, st1, cands1);
     gen_mapping_report(ctx, false, st2, cands2);
     check_paired_final(ctx, st1, st2);
     set_paired_flags(st1, st2);
     evaluate_mapq(ctx, st1);
     evaluate_mapq(ctx, st2);
+    if (prof) t4 = now_ns();
+    output_paired(ctx, st1, st2, in.fastq, ost, out);
+    if (prof) {
+      t5 = now_ns();
+      g_prof.seed += t1 - t0;
+      g_prof.cand += t2 - t1;
+      g_prof.pair += t3 - t2;
+      g_prof.report += t4 - t3;
+      g_prof.fmt += t5 - t4;
+      g_prof.reads += 2;
+    }
   }
 }
 
 static void process_single_range(const Ctx& ctx, const ChunkIn& in,
                                  const std::vector<int64_t>& seed_base, int lo, int hi,
-                                 std::vector<ReadState>& states) {
+                                 std::vector<ReadState>& states,
+                                 OutStats& ost, std::string& out) {
   std::vector<Seed> seeds;
+  out.reserve((size_t)(hi - lo) * 200);
   for (int i = lo; i < hi; i++) {
     ReadState& st = states[i];
     collect_seeds(ctx, in, i, seed_base[i], seeds);
@@ -1774,6 +1882,7 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
     gen_mapping_report(ctx, true, st, cands);
     set_single_flag(st);
     evaluate_mapq(ctx, st);
+    output_single(ctx, st, in.fastq, ost, out);
   }
 }
 
@@ -1982,7 +2091,10 @@ void* kart_ctx_create(const uint8_t* ref_seq, int64_t two_genome_size,
   return c;
 }
 
-void kart_ctx_destroy(void* ctx) { delete (Ctx*)ctx; }
+void kart_ctx_destroy(void* ctx) {
+  if (prof_on()) prof_dump();
+  delete (Ctx*)ctx;
+}
 
 // Attach direct-lookup seeding tables (caller keeps arrays alive).
 void kart_ctx_set_seed_tables(void* vctx, const int32_t* table_lo,
@@ -2003,6 +2115,10 @@ void kart_ctx_set_seed_tables(void* vctx, const int32_t* table_lo,
   }
   st.ref_codes.resize(seq_len);
   for (int64_t i = 0; i < seq_len; i++) st.ref_codes[i] = (int8_t)NT4[c.ref_seq[i]];
+  hint_hugepages(st.table_lo, ((size_t)1 << 26) * 4 + 4);  // 4^13+1 int32
+  hint_hugepages(st.sa_full, (size_t)(seq_len + 1) * 4);
+  hint_hugepages(st.ref_codes.data(), st.ref_codes.size());
+  hint_hugepages(c.ref_seq, (size_t)c.two_genome_size);
   st.ready = true;
 }
 
@@ -2042,38 +2158,48 @@ int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
   }
 
   int nt = ctx.n_threads;
+  OutStats st;
+  std::string out;
   if (nt > 1 && n_reads >= 64) {
     std::vector<std::thread> threads;
     int unit = do_pairs ? 2 : 1;
     int n_units = n_reads / unit;
     int per = (n_units + nt - 1) / nt;
+    std::vector<OutStats> tstats(nt);
+    std::vector<std::string> touts(nt);
+    int used = 0;
     for (int t = 0; t < nt; t++) {
       int lo = t * per * unit;
       int hi = std::min((int64_t)(t + 1) * per * unit, (int64_t)n_reads);
       if (lo >= hi) break;
-      threads.emplace_back([&, lo, hi]() {
+      used = t + 1;
+      threads.emplace_back([&, lo, hi, t]() {
         if (do_pairs)
-          process_pair_range(ctx, in, seed_base, est, lo, hi, states);
+          process_pair_range(ctx, in, seed_base, est, lo, hi, states, tstats[t],
+                             touts[t]);
         else
-          process_single_range(ctx, in, seed_base, lo, hi, states);
+          process_single_range(ctx, in, seed_base, lo, hi, states, tstats[t],
+                               touts[t]);
       });
     }
     for (auto& th : threads) th.join();
+    size_t total = 0;
+    for (int t = 0; t < used; t++) total += touts[t].size();
+    out.reserve(total);
+    for (int t = 0; t < used; t++) {
+      out += touts[t];
+      st.paired += tstats[t].paired;
+      st.distance += tstats[t].distance;
+      st.unique += tstats[t].unique;
+      st.unmapped += tstats[t].unmapped;
+    }
   } else {
+    out.reserve((size_t)n_reads * 200);
     if (do_pairs)
-      process_pair_range(ctx, in, seed_base, est, 0, n_reads, states);
+      process_pair_range(ctx, in, seed_base, est, 0, n_reads, states, st, out);
     else
-      process_single_range(ctx, in, seed_base, 0, n_reads, states);
+      process_single_range(ctx, in, seed_base, 0, n_reads, states, st, out);
   }
-
-  OutStats st;
-  std::string out;
-  out.reserve((size_t)n_reads * 200);
-  if (do_pairs)
-    for (int i = 0; i < n_reads; i += 2)
-      output_paired(ctx, states[i], states[i + 1], in.fastq, st, out);
-  else
-    for (int i = 0; i < n_reads; i++) output_single(ctx, states[i], in.fastq, st, out);
 
   stats[0] += st.paired;
   stats[1] += st.distance;
