@@ -78,7 +78,9 @@ class KartMapper:
         self.min_seed_len = compute_min_seed_length(gidx.two_genome_size)
         self.conquer = Conquer(gidx.ref_seq, pacbio, max_gaps)
         self.use_device = use_device
-        self.fm_dev = FMIndexArrays.from_genome_index(gidx) if use_device else None
+        # device arrays are materialized lazily: the native fast path never
+        # touches jax, so a slow/absent accelerator cannot stall it
+        self._fm_dev = None
         self.fm_ref = fm_from_genome_index(gidx)
         self.sa_full_np = gidx.sa_full
         # shared counters (reference: Mapping.cpp:20)
@@ -96,6 +98,12 @@ class KartMapper:
         # direct 13-mer lookup seeding engine (small-genome TPU fast path)
         self.kmer_tables = None
         self._kmer_tables_tried = False
+
+    @property
+    def fm_dev(self):
+        if self._fm_dev is None and self.use_device:
+            self._fm_dev = FMIndexArrays.from_genome_index(self.gidx)
+        return self._fm_dev
 
     def _get_kmer_tables(self):
         if self._kmer_tables_tried:
