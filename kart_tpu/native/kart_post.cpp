@@ -1963,7 +1963,11 @@ struct NativeReader {
   GzLineReader f1, f2;
   bool sep = false, fastq = true, pair_end = false;
   int limit = 4000;  // ReadChunkSize (structure.h:21); 10 for PacBio
-  ChunkBufs bufs[2];
+  // 3 buffers: the chunk returned by next_chunk stays valid across ONE
+  // further next_chunk call (depth-1 pipelining: device-seed chunk k+1
+  // while post-processing chunk k), while the prefetch thread fills the
+  // third.
+  ChunkBufs bufs[3];
   int cur = 0;
   std::thread th;
   bool th_active = false;
@@ -2041,7 +2045,7 @@ struct NativeReader {
   }
 
   void start_prefetch() {
-    int tgt = cur ^ 1;
+    int tgt = (cur + 1) % 3;
     th = std::thread([this, tgt]() { fill_chunk(bufs[tgt]); });
     th_active = true;
   }
@@ -2122,25 +2126,15 @@ void kart_ctx_set_seed_tables(void* vctx, const int32_t* table_lo,
   st.ready = true;
 }
 
-// stats layout: [0]=paired, [1]=distance, [2]=unique, [3]=unmapped (in/out)
-int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
-                           int32_t fastq, const uint8_t* seq_concat,
-                           const int64_t* seq_off, const uint8_t* qual_concat,
-                           const int64_t* qual_off, const char* header_concat,
-                           const int64_t* header_off, const int32_t* seed_cnt,
-                           const int32_t* seed_rpos, const int32_t* seed_len,
-                           const int64_t* seed_gpos, int64_t* stats, char** sam_out) {
-  Ctx& ctx = *(Ctx*)vctx;
-  ChunkIn in{n_reads,      pair_end != 0, fastq != 0, seq_concat,  seq_off,
-             qual_concat,  qual_off,      header_concat, header_off, seed_cnt,
-             seed_rpos,    seed_len,      seed_gpos};
-
+static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
+                                  char** sam_out) {
+  int n_reads = in.n_reads;
   std::vector<int64_t> seed_base(n_reads, 0);
-  if (seed_cnt != nullptr) {
+  if (in.seed_cnt != nullptr) {
     int64_t acc = 0;
     for (int i = 0; i < n_reads; i++) {
       seed_base[i] = acc;
-      acc += seed_cnt[i];
+      acc += in.seed_cnt[i];
     }
   }
   std::vector<ReadState> states(n_reads);
@@ -2213,6 +2207,94 @@ int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
   return (int64_t)out.size();
 }
 
+// Attach only the full suffix array (occurrence expansion for device-seeded
+// chunks) without the direct-lookup seeding tables — used when the genome
+// is too large for the 13-mer table gate but device seeding still applies.
+void kart_ctx_set_sa_full(void* vctx, const int32_t* sa_full, int64_t seq_len) {
+  Ctx& c = *(Ctx*)vctx;
+  c.seed_tables.sa_full = sa_full;
+  c.seed_tables.seq_len = seq_len;
+  hint_hugepages(sa_full, (size_t)(seq_len + 1) * 4);
+}
+
+// stats layout: [0]=paired, [1]=distance, [2]=unique, [3]=unmapped (in/out)
+int64_t kart_process_chunk(void* vctx, int32_t n_reads, int32_t pair_end,
+                           int32_t fastq, const uint8_t* seq_concat,
+                           const int64_t* seq_off, const uint8_t* qual_concat,
+                           const int64_t* qual_off, const char* header_concat,
+                           const int64_t* header_off, const int32_t* seed_cnt,
+                           const int32_t* seed_rpos, const int32_t* seed_len,
+                           const int64_t* seed_gpos, int64_t* stats, char** sam_out) {
+  Ctx& ctx = *(Ctx*)vctx;
+  ChunkIn in{n_reads,      pair_end != 0, fastq != 0, seq_concat,  seq_off,
+             qual_concat,  qual_off,      header_concat, header_off, seed_cnt,
+             seed_rpos,    seed_len,      seed_gpos};
+  return process_chunk_impl(ctx, in, stats, sam_out);
+}
+
+// Device-seeded chunk: seeds arrive as the packed (B, 1+4*max_seeds) int32
+// matrix produced by the TPU seeding kernels (seed_scan layout:
+// [n_seeds | rpos | len | k0 | freq] with k0 a suffix-array row).  The
+// occurrence expansion (gpos = sa_full[k0+o], o < freq, SA-row order —
+// reference bwt_search.cpp:176-179) happens here, off the device, against
+// the same full SA the direct-lookup tables use.
+int64_t kart_process_chunk_packed(void* vctx, int32_t n_reads, int32_t pair_end,
+                                  int32_t fastq, const uint8_t* seq_concat,
+                                  const int64_t* seq_off, const uint8_t* qual_concat,
+                                  const int64_t* qual_off, const char* header_concat,
+                                  const int64_t* header_off, const int32_t* packed,
+                                  int32_t max_seeds, int64_t* stats, char** sam_out) {
+  Ctx& ctx = *(Ctx*)vctx;
+  const SeedTables& st = ctx.seed_tables;
+  int stride = 1 + 4 * max_seeds;
+  std::vector<int32_t> cnt(n_reads);
+  std::vector<int32_t> rpos, slen;
+  std::vector<int64_t> gpos;
+  size_t guess = (size_t)n_reads * 4;
+  rpos.reserve(guess);
+  slen.reserve(guess);
+  gpos.reserve(guess);
+  for (int i = 0; i < n_reads; i++) {
+    const int32_t* row = packed + (int64_t)i * stride;
+    int ns = row[0];
+    const int32_t* rp = row + 1;
+    const int32_t* ln = row + 1 + max_seeds;
+    const int32_t* k0 = row + 1 + 2 * max_seeds;
+    const int32_t* fq = row + 1 + 3 * max_seeds;
+    int total = 0;
+    for (int t = 0; t < ns; t++) {
+      for (int o = 0; o < fq[t]; o++) {
+        rpos.push_back(rp[t]);
+        slen.push_back(ln[t]);
+        gpos.push_back((int64_t)st.sa_full[k0[t] + o]);
+      }
+      total += fq[t];
+    }
+    cnt[i] = total;
+  }
+  ChunkIn in{n_reads,       pair_end != 0, fastq != 0,    seq_concat,
+             seq_off,       qual_concat,   qual_off,      header_concat,
+             header_off,    cnt.data(),    rpos.data(),   slen.data(),
+             gpos.data()};
+  return process_chunk_impl(ctx, in, stats, sam_out);
+}
+
+// Encode reads into a (rows x l_max) int8 matrix of 2-bit codes padded
+// with 4 (the device kernels' input layout) + per-read lengths.  `out`
+// must hold rows*l_max bytes, rows >= n; rows beyond n are left as given.
+void kart_encode_reads(const uint8_t* seq_concat, const int64_t* seq_off,
+                       int32_t n, int32_t l_max, int8_t* out, int32_t* rlens) {
+  for (int i = 0; i < n; i++) {
+    const uint8_t* s = seq_concat + seq_off[i];
+    int len = (int)(seq_off[i + 1] - seq_off[i]);
+    if (len > l_max) len = l_max;
+    int8_t* row = out + (int64_t)i * l_max;
+    for (int j = 0; j < len; j++) row[j] = (int8_t)NT4[s[j]];
+    if (len < l_max) memset(row + len, 4, l_max - len);
+    rlens[i] = len;
+  }
+}
+
 void kart_free(char* p) { free(p); }
 
 // --- chunked reader ---------------------------------------------------------
@@ -2233,7 +2315,7 @@ void* kart_reader_open(const char* path1, const char* path2, int32_t fastq,
     delete r;
     return nullptr;
   }
-  r->cur = 1;          // first next_chunk flips to 0
+  r->cur = 2;           // first next_chunk advances to 0
   r->start_prefetch();  // fills bufs[0]
   return r;
 }
@@ -2246,7 +2328,7 @@ int32_t kart_reader_next_chunk(void* h, const uint8_t** seq,
   NativeReader* r = (NativeReader*)h;
   if (r->exhausted) return 0;
   r->join_prefetch();
-  r->cur ^= 1;
+  r->cur = (r->cur + 1) % 3;
   ChunkBufs& b = r->bufs[r->cur];
   if (b.n == r->limit)
     r->start_prefetch();  // full chunk: more may follow

@@ -64,6 +64,20 @@ def load_postlib():
         ctypes.POINTER(ctypes.c_char_p),
     ]
     lib.kart_free.argtypes = [ctypes.c_char_p]
+    lib.kart_ctx_set_sa_full.restype = None
+    lib.kart_ctx_set_sa_full.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
+    lib.kart_process_chunk_packed.restype = ctypes.c_int64
+    lib.kart_process_chunk_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i8p, i64p, i8p, i64p, ctypes.c_char_p, i64p,
+        i32p, ctypes.c_int32,
+        i64p, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.kart_encode_reads.restype = None
+    lib.kart_encode_reads.argtypes = [
+        i8p, i64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8), i32p,
+    ]
     lib.kart_reader_open.restype = ctypes.c_void_p
     lib.kart_reader_open.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,
@@ -116,8 +130,9 @@ class NativeReader:
 
     def next_chunk(self):
         """-> (n_reads, (seq, seq_off, qual, headers, header_off) raw ptrs);
-        n_reads == 0 at end of input.  Pointers are valid until the next
-        next_chunk()/close() call."""
+        n_reads == 0 at end of input.  Pointers stay valid across ONE
+        further next_chunk() call (3 internal buffers — depth-1
+        pipelining), then are reused."""
         seq = ctypes.c_void_p()
         seq_off = ctypes.c_void_p()
         qual = ctypes.c_void_p()
@@ -238,6 +253,68 @@ class NativePostProcessor:
             ctypes.cast(headers, ctypes.c_char_p),
             ctypes.cast(header_off, i64p),
             null_i32, null_i32, null_i32, null_i64,
+            _i64p(st),
+            ctypes.byref(out),
+        )
+        sam = ctypes.string_at(out, size).decode("ascii")
+        self.lib.kart_free(out)
+        stats["paired"] = int(st[0])
+        stats["distance"] = int(st[1])
+        stats["unique"] = int(st[2])
+        stats["unmapped"] = int(st[3])
+        return sam
+
+    def set_sa_full(self, sa_full_np, seq_len) -> None:
+        """Attach the full SA for packed-seed occurrence expansion when the
+        direct-lookup tables are not in use."""
+        self._sa_only = np.ascontiguousarray(sa_full_np, dtype=np.int32)
+        self.lib.kart_ctx_set_sa_full(
+            self.ctx, _i32p(self._sa_only), ctypes.c_int64(seq_len)
+        )
+        self.has_sa_full = True
+
+    def encode_reads_ptrs(self, n, ptrs, rows, l_max):
+        """Encode a NativeReader chunk into the device kernels' (rows,
+        l_max) int8 layout (codes, padded 4).  Returns (reads, rlens)."""
+        seq, seq_off, _, _, _ = ptrs
+        reads = np.full((rows, l_max), 4, dtype=np.int8)
+        rlens = np.zeros(rows, dtype=np.int32)
+        self.lib.kart_encode_reads(
+            ctypes.cast(seq, ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.cast(seq_off, ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int32(n),
+            ctypes.c_int32(l_max),
+            reads.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i32p(rlens),
+        )
+        return reads, rlens
+
+    def process_chunk_packed(self, n, pair_end, fastq, ptrs, packed, max_seeds, stats):
+        """Chunk mapping from NativeReader buffers with DEVICE-produced
+        packed seeds (seed_scan layout, (>=n, 1+4*max_seeds) int32);
+        occurrence expansion happens natively.  Returns SAM text."""
+        seq, seq_off, qual, headers, header_off = ptrs
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        packed = np.ascontiguousarray(packed, dtype=np.int32)
+        st = np.array(
+            [stats["paired"], stats["distance"], stats["unique"], stats["unmapped"]],
+            dtype=np.int64,
+        )
+        out = ctypes.c_char_p()
+        size = self.lib.kart_process_chunk_packed(
+            self.ctx,
+            ctypes.c_int32(n),
+            ctypes.c_int32(1 if pair_end else 0),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.cast(seq, i8p),
+            ctypes.cast(seq_off, i64p),
+            ctypes.cast(qual, i8p),
+            ctypes.cast(seq_off, i64p) if qual.value else ctypes.cast(None, i64p),
+            ctypes.cast(headers, ctypes.c_char_p),
+            ctypes.cast(header_off, i64p),
+            _i32p(packed),
+            ctypes.c_int32(max_seeds),
             _i64p(st),
             ctypes.byref(out),
         )

@@ -222,7 +222,7 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
 def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
     occ4_b = jax.vmap(lambda k: occ4(fm, k))
     return seed_scan_impl(
-        occ4_b, fm.L2, fm.primary, reads, rlens, min_seed_len,
+        occ4_b, fm.L2, fm.primary, reads.astype(jnp.int32), rlens, min_seed_len,
         max_seeds=max_seeds, l_max=l_max,
     )
 
@@ -361,7 +361,7 @@ def sensitive_scan_impl(
 def sensitive_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
     occ4_b = jax.vmap(lambda k: occ4(fm, k))
     return sensitive_scan_impl(
-        occ4_b, fm.L2, fm.primary, reads, rlens, min_seed_len,
+        occ4_b, fm.L2, fm.primary, reads.astype(jnp.int32), rlens, min_seed_len,
         max_seeds=max_seeds, l_max=l_max,
     )
 

@@ -174,6 +174,7 @@ def kmer_seed_scan(
     B = reads.shape[0]
     bidx = jnp.arange(B)
     last_valid = seq_len - K
+    reads = reads.astype(jnp.int32)  # int8 transfers welcome
 
     # rolling 13-mer ids per read position; window-amb flag
     r64 = reads.astype(jnp.int64)

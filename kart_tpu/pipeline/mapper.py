@@ -421,13 +421,151 @@ class KartMapper:
             out.extend(sam_text.splitlines())
         return out
 
+    # ------------------------------------------------------------------
+    # Device-pipelined stream: TPU seeds chunk k+1 while the CPU
+    # post-processes and formats chunk k (depth-1 double buffer; the
+    # native reader keeps a chunk's buffers alive across one next_chunk).
+    # ------------------------------------------------------------------
+
+    def _dispatch_seed_async(self, reads_i8, rl, l_max):
+        """Dispatch device seeding for an encoded (B, l_max) int8 batch.
+        Returns (kind, fut, max_seeds): the jax array is NOT materialized
+        (async dispatch)."""
+        import jax.numpy as jnp
+
+        if self.pacbio:
+            max_seeds = l_max // self.min_seed_len + 2
+            fut = sensitive_scan(
+                self.fm_dev, jnp.asarray(reads_i8), jnp.asarray(rl),
+                np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
+            )
+            return "fm", fut, max_seeds
+        max_seeds = l_max // (self.min_seed_len + 1) + 1
+        tb = self._get_kmer_tables()
+        if tb is not None:
+            from ..ops.kmer_seed import kmer_seed_scan
+
+            hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
+            fut = kmer_seed_scan(
+                tb.table_lo, tb.text, tb.sa_full, tb.bitmaps,
+                jnp.asarray(reads_i8), jnp.asarray(rl),
+                np.int32(self.min_seed_len),
+                max_seeds=max_seeds, l_max=l_max,
+                hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,
+            )
+            return "kmer", fut, max_seeds
+        fut = seed_scan(
+            self.fm_dev, jnp.asarray(reads_i8), jnp.asarray(rl),
+            np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
+        )
+        return "fm", fut, max_seeds
+
+    def _finalize_seed(self, kind, fut, n, max_seeds, reads_i8, rl, l_max):
+        """Materialize a dispatched seeding batch; normalize to the
+        seed_scan packed layout, exact-re-seeding kmer overflow lanes."""
+        packed = np.asarray(fut)
+        if kind == "fm":
+            return packed
+        from ..ops.kmer_seed import unpack_seed_result
+
+        out = unpack_seed_result(packed, max_seeds)
+        ok = out["ok"]
+        norm = np.concatenate(
+            [
+                out["n_seeds"][:, None], out["rpos"], out["slen"],
+                out["k0"], out["freq"],
+            ],
+            axis=1,
+        ).astype(np.int32)
+        if not ok[:n].all():
+            bad = np.nonzero(~ok[:n])[0]
+            nb = len(bad)
+            Bb = _bucket(nb, _B_BUCKETS)
+            reads_b = np.full((Bb, l_max), 4, dtype=np.int8)
+            reads_b[:nb] = reads_i8[bad]
+            rl_b = np.zeros(Bb, dtype=np.int32)
+            rl_b[:nb] = rl[bad]
+            import jax.numpy as jnp
+
+            packed2 = np.asarray(
+                seed_scan(
+                    self.fm_dev, jnp.asarray(reads_b), jnp.asarray(rl_b),
+                    np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
+                )
+            )[:nb]
+            norm[bad] = packed2
+        return norm
+
+    def _map_stream_device(self, path1, path2, pair_end, fastq, writer,
+                           progress=None) -> None:
+        import ctypes
+
+        from ..native.post import NativeReader
+
+        l_buckets = _PB_L_BUCKETS if self.pacbio else _L_BUCKETS
+        b_buckets = _PB_B_BUCKETS if self.pacbio else _B_BUCKETS
+        # ensure the native side can expand SA rows (tables when available,
+        # bare full SA otherwise)
+        if not self._native_seeding_ready() and not getattr(
+            self.native, "has_sa_full", False
+        ):
+            self.native.set_sa_full(self.gidx.sa_full, self.gidx.two_genome_size)
+        reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio)
+        prev = None
+        try:
+            while True:
+                n, ptrs = reader.next_chunk()
+                cur = None
+                if n:
+                    off = np.ctypeslib.as_array(
+                        ctypes.cast(ptrs[1], ctypes.POINTER(ctypes.c_int64)),
+                        shape=(n + 1,),
+                    )
+                    l_max = _bucket(int(np.diff(off).max()), l_buckets)
+                    B = _bucket(n, b_buckets)
+                    reads_i8, rl = self.native.encode_reads_ptrs(n, ptrs, B, l_max)
+                    kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
+                    cur = (n, ptrs, kind, fut, ms, reads_i8, rl, l_max)
+                if prev is not None:
+                    n0, ptrs0, kind0, fut0, ms0, ri0, rl0, lm0 = prev
+                    packed = self._finalize_seed(kind0, fut0, n0, ms0, ri0, rl0, lm0)
+                    if progress is not None:
+                        progress(self.stats["total"])
+                    writer(
+                        self.native.process_chunk_packed(
+                            n0, pair_end and n0 % 2 == 0 and not self.pacbio,
+                            fastq, ptrs0, packed, ms0, self.stats,
+                        )
+                    )
+                    self.stats["total"] += n0
+                prev = cur
+                if n == 0:
+                    break
+        finally:
+            reader.close()
+
     def map_stream(self, path1: str, path2: str | None, pair_end: bool,
                    fastq: bool, writer, progress=None) -> None:
         """Map one whole library (file or file pair), streaming SAM text to
-        `writer`.  Fast path: the native chunked reader (background prefetch
-        thread, reference GetNextChunk semantics) feeding the native
-        seed/post pipeline zero-copy.  Falls back to the Python reader +
-        batched device seeding when the native engine is unavailable."""
+        `writer`.
+
+        Paths, fastest applicable first:
+          * KART_SEED_MODE=device — depth-1 pipelined: device seeding of
+            chunk k+1 (kmer engine or FM/sensitive scan) overlapped with
+            native post-processing + formatting of chunk k;
+          * native (default) — native chunked reader feeding the native
+            seed/post pipeline zero-copy, no accelerator involvement;
+          * Python reader + batched device seeding when the native engine
+            is unavailable."""
+        import os
+
+        mode = os.environ.get("KART_SEED_MODE", "native")
+        if (
+            mode == "device"
+            and self.native is not None
+            and self.use_device
+        ):
+            return self._map_stream_device(path1, path2, pair_end, fastq, writer, progress)
         if self._native_seeding_ready():
             from ..native.post import NativeReader
 

@@ -134,3 +134,17 @@ def test_paired_end_device_seeding(golden):
     """Illumina PE with batched DEVICE FastMode seeding (python pipeline)."""
     args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
     run_both(golden, args, args + ["-backend", "python"], "pe_dev")
+
+
+def test_paired_end_device_pipelined(golden, monkeypatch):
+    """KART_SEED_MODE=device: TPU seeds chunk k+1 while native post runs
+    chunk k (packed-seed handoff, occurrence expansion in C++)."""
+    monkeypatch.setenv("KART_SEED_MODE", "device")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args, "pe_devpipe")
+
+
+def test_pacbio_device_pipelined(golden, monkeypatch):
+    monkeypatch.setenv("KART_SEED_MODE", "device")
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args, "pb_devpipe")
