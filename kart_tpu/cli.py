@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
     if not args or args[0] == "-h":
         usage(prog)
         return 0
+    if args[0] == "update":
+        # reference: `git fetch; git merge origin/master master; make`
+        # (src/main.cpp:107-111) — self-update from the repository
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rc = subprocess.call(["git", "-C", root, "pull", "--ff-only"])
+        return rc
     if args[0] == "index":
         if len(args) == 3:
             from .index import build_index

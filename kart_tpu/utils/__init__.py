@@ -1,0 +1,3 @@
+from .trace import StageTimers, device_trace, progress_line
+
+__all__ = ["StageTimers", "device_trace", "progress_line"]
