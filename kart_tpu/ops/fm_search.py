@@ -79,7 +79,9 @@ class FMIndexArrays:
         )
 
 
-_M55 = jnp.uint32(0x55555555)
+# numpy scalar: a module-level jnp constant would initialize the device
+# backend at import time (and hang if the accelerator is unreachable)
+_M55 = np.uint32(0x55555555)
 
 
 def _count4_word(w):
@@ -372,7 +374,7 @@ def sensitive_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, 
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
-def sa_walk(fm: FMIndexArrays, ks, sa_intv_log2=jnp.int32(5), *, max_steps=4096):
+def sa_walk(fm: FMIndexArrays, ks, sa_intv_log2=np.int32(5), *, max_steps=4096):
     """Batched bwt_sa: resolve rows ks (N,) int32 to text positions via
     masked inverse-Psi steps until every lane reaches a sampled row.
 
