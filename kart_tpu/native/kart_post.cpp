@@ -350,6 +350,175 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Software-pipelined FastMode seeding: W independent per-read restart
+// machines advance round-robin through explicit stages, so each machine's
+// table / suffix-array / text cache misses overlap the other machines'
+// compute (the per-restart dependency chain table_lo[km] -> sa_full[row] ->
+// text[loc] is ~3 serial memory latencies otherwise).  Seed streams per
+// read are identical to seed_read_direct.
+// ---------------------------------------------------------------------------
+
+struct SeedMachine {
+  enum Stage { KM, TBL, LOC, EXT, SUB, IDLE } stage = IDLE;
+  const int8_t* enc = nullptr;
+  int rlen = 0, pos = 0, end_pos = 0;
+  int read_idx = -1;
+  uint32_t km = 0;
+  int amb_off = 0;
+  int32_t lo = 0, hi = 0;
+};
+
+static const int SEED_PIPE_W = 8;
+
+static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
+                                    const int64_t* enc_off, int n_reads,
+                                    std::vector<std::vector<RawSeed>>& out) {
+  const SeedTables& st = ctx.seed_tables;
+  const int8_t* text = st.ref_codes.data();
+  int64_t last_valid = st.seq_len - SEED_K;
+  int min_seed = ctx.min_seed_len;
+
+  SeedMachine mach[SEED_PIPE_W];
+  thread_local std::vector<int64_t> max_locs;
+  int next_read = 0;
+  int live = 0;
+
+  auto refill = [&](SeedMachine& m) {
+    while (next_read < n_reads) {
+      int i = next_read++;
+      int rlen = (int)(enc_off[i + 1] - enc_off[i]);
+      if (rlen - min_seed <= 0) continue;  // no restarts possible
+      m.enc = enc_arena + enc_off[i];
+      m.rlen = rlen;
+      m.pos = 0;
+      m.end_pos = rlen - min_seed;
+      m.read_idx = i;
+      m.stage = SeedMachine::KM;
+      live++;
+      return;
+    }
+    m.stage = SeedMachine::IDLE;
+  };
+
+  auto prefetch_bitmaps = [&](uint32_t km) {
+    for (size_t bi = 0; bi < st.bitmap_ks.size(); bi++) {
+      uint32_t idx = km >> (2 * (SEED_K - st.bitmap_ks[bi]));
+      __builtin_prefetch(&st.bitmaps[bi][idx >> 5], 0, 1);
+    }
+  };
+
+  for (int w = 0; w < SEED_PIPE_W && next_read < n_reads; w++) refill(mach[w]);
+
+  while (live > 0) {
+    for (int w = 0; w < SEED_PIPE_W; w++) {
+      SeedMachine& m = mach[w];
+      switch (m.stage) {
+        case SeedMachine::IDLE:
+          break;
+        case SeedMachine::KM: {
+          while (m.pos < m.end_pos && m.enc[m.pos] > 3) m.pos++;
+          if (m.pos >= m.end_pos) {
+            live--;  // retire; refill() re-increments on success
+            refill(m);
+            break;
+          }
+          uint32_t km = 0;
+          int amb_off = SEED_K + 1;
+          for (int i = 0; i < SEED_K; i++) {
+            int8_t c = (m.pos + i < m.rlen) ? m.enc[m.pos + i] : (int8_t)4;
+            if (c > 3) {
+              if (amb_off > SEED_K) amb_off = i;
+              km <<= 2;
+            } else
+              km = (km << 2) | (uint32_t)c;
+          }
+          m.km = km;
+          m.amb_off = amb_off;
+          if (amb_off > SEED_K) {
+            __builtin_prefetch(&st.table_lo[km], 0, 1);
+            __builtin_prefetch(&st.table_lo[km + 1], 0, 1);
+            m.stage = SeedMachine::TBL;
+          } else {
+            prefetch_bitmaps(km);
+            m.stage = SeedMachine::SUB;
+          }
+          break;
+        }
+        case SeedMachine::TBL: {
+          m.lo = st.table_lo[m.km];
+          m.hi = st.table_lo[m.km + 1];
+          if (m.lo == m.hi) {
+            prefetch_bitmaps(m.km);
+            m.stage = SeedMachine::SUB;
+            break;
+          }
+          int cnt = m.hi - m.lo;
+          int pf = cnt < 64 ? cnt : 64;
+          for (int r = 0; r < pf; r += 16)
+            __builtin_prefetch(&st.sa_full[m.lo + r], 0, 1);
+          m.stage = SeedMachine::LOC;
+          break;
+        }
+        case SeedMachine::LOC: {
+          int cnt = m.hi - m.lo;
+          int pf = cnt < 16 ? cnt : 16;
+          for (int r = 0; r < pf; r++) {
+            int64_t loc = st.sa_full[m.lo + r];
+            if (loc <= last_valid) __builtin_prefetch(&text[loc], 0, 1);
+          }
+          m.stage = SeedMachine::EXT;
+          break;
+        }
+        case SeedMachine::EXT: {
+          int best = -1;
+          max_locs.clear();
+          for (int32_t row = m.lo; row < m.hi; row++) {
+            int64_t loc = st.sa_full[row];
+            if (loc > last_valid) continue;
+            int maxl = m.rlen - m.pos;
+            if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+            int l = lcp_bytes(m.enc + m.pos, text + loc, maxl);
+            if (l > best) {
+              best = l;
+              max_locs.clear();
+              max_locs.push_back(loc);
+            } else if (l == best)
+              max_locs.push_back(loc);
+          }
+          if (best >= SEED_K) {
+            if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR) {
+              auto& dst = out[m.read_idx];
+              for (int64_t loc : max_locs)
+                dst.push_back({m.pos, best, loc});
+            }
+            m.pos += best + 1;
+            m.stage = SeedMachine::KM;
+          } else {
+            prefetch_bitmaps(m.km);
+            m.stage = SeedMachine::SUB;
+          }
+          break;
+        }
+        case SeedMachine::SUB: {
+          int sub_len = 0;
+          for (size_t bi = 0; bi < st.bitmap_ks.size(); bi++) {
+            int k = st.bitmap_ks[bi];
+            if (m.amb_off >= k &&
+                bitmap_has(st.bitmaps[bi], m.km >> (2 * (SEED_K - k)))) {
+              sub_len = k;
+              break;
+            }
+          }
+          m.pos += sub_len + 1;
+          m.stage = SeedMachine::KM;
+          break;
+        }
+      }
+    }
+  }
+}
+
 // std::map::lower_bound equivalent over the sorted boundary keys
 static inline int chr_lower_bound(const Ctx& c, int64_t g) {
   return (int)(std::lower_bound(c.chr_keys.begin(), c.chr_keys.end(), g) -
@@ -1595,27 +1764,54 @@ static void revcomp_into(const uint8_t* seq, int len, std::string& out) {
   for (int i = 0; i < len; i++) out[i] = COMP[seq[len - 1 - i]];
 }
 
+static inline void append_int(std::string& out, int64_t v) {
+  char tmp[24];
+  char* p = tmp + 24;
+  bool neg = v < 0;
+  uint64_t u = neg ? (uint64_t)(-(v + 1)) + 1 : (uint64_t)v;
+  do {
+    *--p = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  if (neg) *--p = '-';
+  out.append(p, tmp + 24 - p);
+}
+
 static void append_record(std::string& out, const ReadState& r, const Report& rep,
                           const Ctx& ctx, const char* seq_s, const char* qual_s,
-                          const char* rnext, int64_t pnext, int64_t tlen) {
-  char buf[256];
+                          bool qual_star, const char* rnext, int64_t pnext,
+                          int64_t tlen) {
   out.append(r.header, r.header_len);
-  snprintf(buf, sizeof(buf), "\t%d\t", rep.sam_flag);
-  out += buf;
+  out += '\t';
+  append_int(out, rep.sam_flag);
+  out += '\t';
   out += ctx.chrom_names[rep.coor.chrom_idx];
-  snprintf(buf, sizeof(buf), "\t%lld\t%d\t", (long long)rep.coor.gpos, r.mapq);
-  out += buf;
+  out += '\t';
+  append_int(out, rep.coor.gpos);
+  out += '\t';
+  append_int(out, r.mapq);
+  out += '\t';
   out += rep.coor.cigar;
   out += '\t';
   out += rnext;
-  snprintf(buf, sizeof(buf), "\t%lld\t%lld\t", (long long)pnext, (long long)tlen);
-  out += buf;
-  out += seq_s;
   out += '\t';
-  out += qual_s;
-  snprintf(buf, sizeof(buf), "\tNM:i:%d\tAS:i:%d\tXS:i:%d\n", r.rlen - r.score, r.score,
-           r.sub_score);
-  out += buf;
+  append_int(out, pnext);
+  out += '\t';
+  append_int(out, tlen);
+  out += '\t';
+  out.append(seq_s, r.rlen);
+  out += '\t';
+  if (qual_star)
+    out += '*';
+  else
+    out.append(qual_s, r.rlen);
+  out += "\tNM:i:";
+  append_int(out, r.rlen - r.score);
+  out += "\tAS:i:";
+  append_int(out, r.score);
+  out += "\tXS:i:";
+  append_int(out, r.sub_score);
+  out += '\n';
 }
 
 static void append_unmapped(std::string& out, const ReadState& r) {
@@ -1642,6 +1838,7 @@ static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st
   if (r.mapq == MAX_MAPQ) st.unique++;
   std::string fwd((const char*)r.seq, r.rlen);
   std::string qual = (fastq && r.qual) ? std::string((const char*)r.qual, r.rlen) : "*";
+  bool ql_star = !(fastq && r.qual);
   std::string rseq, rqual;
   bool have_rev = false;
   for (int i = r.best_idx; i < r.can_num; i++) {
@@ -1655,7 +1852,7 @@ static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st
       }
       const char* sq = rep.coor.bdir ? fwd.c_str() : rseq.c_str();
       const char* ql = fastq ? (rep.coor.bdir ? qual.c_str() : rqual.c_str()) : "*";
-      append_record(out, r, rep, ctx, sq, ql, "*", 0, 0);
+      append_record(out, r, rep, ctx, sq, ql, ql_star, "*", 0, 0);
       if (!ctx.multi_hit) break;
     }
   }
@@ -1672,6 +1869,7 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     std::string fwd((const char*)r1.seq, r1.rlen);
     std::string qual =
         (fastq && r1.qual) ? std::string((const char*)r1.qual, r1.rlen) : "*";
+    bool ql_star = !(fastq && r1.qual);
     std::string rseq, rqual;
     bool have_rev = false;
     for (int i = r1.best_idx; i < r1.can_num; i++) {
@@ -1693,9 +1891,9 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
             st.paired += 2;
             if (llabs(dist) < 10000) st.distance += llabs(dist);
           }
-          append_record(out, r1, rep, ctx, sq, ql, "=", r2.reports[j].coor.gpos, dist);
+          append_record(out, r1, rep, ctx, sq, ql, ql_star, "=", r2.reports[j].coor.gpos, dist);
         } else
-          append_record(out, r1, rep, ctx, sq, ql, "*", 0, 0);
+          append_record(out, r1, rep, ctx, sq, ql, ql_star, "*", 0, 0);
       }
       if (!ctx.multi_hit) break;
     }
@@ -1709,6 +1907,7 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     std::string stored((const char*)r2.seq, r2.rlen);
     std::string qual =
         (fastq && r2.qual) ? std::string((const char*)r2.qual, r2.rlen) : "*";
+    bool ql_star = !(fastq && r2.qual);
     std::string orig, rqual;
     bool have_fwd = false;
     for (int j = r2.best_idx; j < r2.can_num; j++) {
@@ -1726,9 +1925,9 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
         if (i != -1 && r1.reports[i].aln_score > 0) {
           int64_t dist = -(rep.coor.gpos - r1.reports[i].coor.gpos +
                            (r1.reports[i].coor.bdir ? r2.rlen : -r1.rlen));
-          append_record(out, r2, rep, ctx, sq, ql, "=", r1.reports[i].coor.gpos, dist);
+          append_record(out, r2, rep, ctx, sq, ql, ql_star, "=", r1.reports[i].coor.gpos, dist);
         } else
-          append_record(out, r2, rep, ctx, sq, ql, "*", 0, 0);
+          append_record(out, r2, rep, ctx, sq, ql, ql_star, "*", 0, 0);
       }
       if (!ctx.multi_hit) break;
     }
@@ -1813,6 +2012,41 @@ static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st
 static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fastq,
                           OutStats& st, std::string& out);
 
+static void raw_to_sorted_seeds(bool pacbio, const std::vector<RawSeed>& raw,
+                                std::vector<Seed>& seeds) {
+  seeds.clear();
+  seeds.reserve(raw.size());
+  for (const auto& r : raw)
+    seeds.push_back({true, r.rpos, r.gpos, r.len, r.len, r.gpos - r.rpos});
+  if (pacbio)
+    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
+    });
+  else
+    std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      return a.posdiff == b.posdiff ? a.rpos < b.rpos : a.posdiff < b.posdiff;
+    });
+}
+
+// Pre-seed a read range with the pipelined batch engine (FastMode internal
+// seeding only).  Returns false when inputs call for another path.
+static bool preseed_range(const Ctx& ctx, const ChunkIn& in, int lo, int hi,
+                          std::vector<std::vector<RawSeed>>& raw) {
+  if (in.seed_cnt != nullptr || ctx.pacbio || !ctx.seed_tables.ready) return false;
+  int n = hi - lo;
+  int64_t total = in.seq_off[hi] - in.seq_off[lo];
+  thread_local std::vector<int8_t> arena;
+  thread_local std::vector<int64_t> offs;
+  arena.resize(total);
+  offs.resize(n + 1);
+  const uint8_t* base = in.seq_concat + in.seq_off[lo];
+  for (int64_t i = 0; i < total; i++) arena[i] = (int8_t)NT4[base[i]];
+  for (int i = 0; i <= n; i++) offs[i] = in.seq_off[lo + i] - in.seq_off[lo];
+  raw.assign(n, {});
+  seed_reads_direct_batch(ctx, arena.data(), offs.data(), n, raw);
+  return true;
+}
+
 // Each worker maps AND formats its read range into its own buffer (the
 // reference's OutputLock serialization becomes an in-order concat of
 // per-thread buffers; record order is identical).
@@ -1824,13 +2058,24 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
   bool prof = prof_on();
   int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0, t4 = 0, t5 = 0;
   out.reserve((size_t)(hi - lo) * 200);
+  std::vector<std::vector<RawSeed>> raw;
+  int64_t tp = prof ? now_ns() : 0;
+  bool pre = preseed_range(ctx, in, lo, hi, raw);
+  if (prof && pre) {
+    g_prof.seed += now_ns() - tp;
+  }
   for (int i = lo; i < hi; i += 2) {
     int j = i + 1;
     ReadState& st1 = states[i];
     ReadState& st2 = states[j];
     if (prof) t0 = now_ns();
-    collect_seeds(ctx, in, i, seed_base[i], seeds1);
-    collect_seeds(ctx, in, j, seed_base[j], seeds2);
+    if (pre) {
+      raw_to_sorted_seeds(false, raw[i - lo], seeds1);
+      raw_to_sorted_seeds(false, raw[j - lo], seeds2);
+    } else {
+      collect_seeds(ctx, in, i, seed_base[i], seeds1);
+      collect_seeds(ctx, in, j, seed_base[j], seeds2);
+    }
     if (prof) t1 = now_ns();
     std::vector<Cand> cands1, cands2;
     gen_candidates_illumina(ctx, st1.rlen, seeds1, cands1);
@@ -1868,9 +2113,14 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
                                  OutStats& ost, std::string& out) {
   std::vector<Seed> seeds;
   out.reserve((size_t)(hi - lo) * 200);
+  std::vector<std::vector<RawSeed>> raw;
+  bool pre = preseed_range(ctx, in, lo, hi, raw);
   for (int i = lo; i < hi; i++) {
     ReadState& st = states[i];
-    collect_seeds(ctx, in, i, seed_base[i], seeds);
+    if (pre)
+      raw_to_sorted_seeds(false, raw[i - lo], seeds);
+    else
+      collect_seeds(ctx, in, i, seed_base[i], seeds);
     std::vector<Cand> cands;
     if (ctx.pacbio) {
       gen_candidates_pacbio(st.rlen, seeds, cands);
