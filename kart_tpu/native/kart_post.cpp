@@ -1255,28 +1255,32 @@ static int process_tail(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar
 // Report generation (pipeline/report.py)
 // ---------------------------------------------------------------------------
 
+static inline void append_uint_c(std::string& out, uint32_t u, char op) {
+  char tmp[12];
+  char* p = tmp + 12;
+  do {
+    *--p = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  out.append(p, tmp + 12 - p);
+  out += op;
+}
+
 static std::string generate_cigar_str(const Cigar& vec, bool reversed) {
   std::string out;
-  char buf[16];
   char state = '\0';
   int c = 0;
   int n = (int)vec.size();
   for (int k = 0; k < n; k++) {
     const auto& e = vec[reversed ? n - 1 - k : k];
     if (e.second != state) {
-      if (c > 0) {
-        snprintf(buf, sizeof(buf), "%d%c", c, state);
-        out += buf;
-      }
+      if (c > 0) append_uint_c(out, (uint32_t)c, state);
       c = e.first;
       state = e.second;
     } else
       c += e.first;
   }
-  if (c > 0) {
-    snprintf(buf, sizeof(buf), "%d%c", c, state);
-    out += buf;
-  }
+  if (c > 0) append_uint_c(out, (uint32_t)c, state);
   return out;
 }
 
