@@ -161,21 +161,12 @@ def nw_backtrace(eq: np.ndarray, s1: bytes, s2: bytes) -> tuple[bytes, bytes]:
     return bytes(out1), bytes(out2)
 
 
-def nw_align_batch(pairs: list[tuple[bytes, bytes]], *, interpret=None):
-    """Align a batch of (s1, s2) ASCII fragment pairs on the device;
-    returns gapped (a1, a2) string pairs, each bit-identical to
-    pipeline.conquer.nw_alignment(s1, s2).
+_TILES = (16, 32, 64, 128, 256, 512)
 
-    Pairs longer than the largest tile are rejected (callers keep
-    fragments small: 8-mer repartition / PacBio recursion)."""
+
+def _nw_tile_batch(pairs, lm, interpret):
     from ..index.format import NT4_TABLE
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    if not pairs:
-        return []
-    lm = max(max(len(a), len(b)) for a, b in pairs)
-    lm = next(t for t in (16, 32, 64, 128, 256, 512) if t >= lm)
     n = len(pairs)
     c1 = np.full((n, lm), 4, np.int8)
     c2 = np.full((n, lm), 5, np.int8)
@@ -187,6 +178,41 @@ def nw_align_batch(pairs: list[tuple[bytes, bytes]], *, interpret=None):
         # ambiguous bases to a shared sentinel 6
         c1[k, : len(a)][c1[k, : len(a)] == 4] = 6
         c2[k, : len(b)][c2[k, : len(b)] == 4] = 6
-    eq = np.asarray(nw_batch_planes(jnp.asarray(c1), jnp.asarray(c2), lm=lm,
-                                    interpret=interpret))
+    eq = np.asarray(
+        nw_batch_planes(jnp.asarray(c1), jnp.asarray(c2), lm=lm, interpret=interpret)
+    )
     return [nw_backtrace(eq[k], a, b) for k, (a, b) in enumerate(pairs)]
+
+
+def nw_align_batch(pairs: list[tuple[bytes, bytes]], *, interpret=None):
+    """Align a batch of (s1, s2) ASCII fragment pairs on the device;
+    returns gapped (a1, a2) string pairs, each bit-identical to
+    pipeline.conquer.nw_alignment(s1, s2).
+
+    Pairs are grouped into size-bucketed tile batches; pairs exceeding the
+    largest tile (possible only on degenerate PacBio fragments — callers
+    keep NW inputs small via 8-mer repartition / recursion) fall back to
+    the host DP."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not pairs:
+        return []
+    buckets: dict[int, list[int]] = {}
+    host_idx = []
+    for k, (a, b) in enumerate(pairs):
+        m = max(len(a), len(b))
+        t = next((t for t in _TILES if t >= m), None)
+        if t is None:
+            host_idx.append(k)
+        else:
+            buckets.setdefault(t, []).append(k)
+    out: list = [None] * len(pairs)
+    for t, idxs in sorted(buckets.items()):
+        res = _nw_tile_batch([pairs[k] for k in idxs], t, interpret)
+        for k, r in zip(idxs, res):
+            out[k] = r
+    from ..pipeline.conquer import nw_alignment
+
+    for k in host_idx:
+        out[k] = nw_alignment(*pairs[k])
+    return out

@@ -657,6 +657,37 @@ class KartMapper:
         self.stats["total"] += n
         return sam_text.splitlines()
 
+    def _batch_nw(self, report_jobs) -> None:
+        """Batched device conquer: dry-run the report pass on deep copies to
+        collect every NW fragment pair the chunk will need (NW inputs are
+        NW-independent: repartition precedes the DP, decisions follow it),
+        run them as ONE device NW batch (ops/nw.py Pallas kernel), and
+        prime the conquer memo consumed by the real pass.  Best-effort: a
+        memo miss in the real pass falls back to the host DP."""
+        import copy
+        import os
+
+        if os.environ.get("KART_BATCH_NW") != "1":
+            return
+        keys: set = set()
+        self.conquer.collecting = keys
+        try:
+            for first_read, st, cands in report_jobs:
+                st_copy = ReadState(
+                    header=st.header, seq=st.seq, qual=st.qual, rlen=st.rlen
+                )
+                gen_mapping_report(
+                    self.gidx, self.conquer, first_read, st_copy,
+                    copy.deepcopy(cands), self.pacbio, self.multi_hit,
+                )
+        finally:
+            self.conquer.collecting = None
+        if keys:
+            from ..ops.nw import nw_align_batch
+
+            pairs = sorted(keys)  # deterministic batch order
+            self.conquer.nw_memo = dict(zip(pairs, nw_align_batch(pairs)))
+
     def _map_chunk_python(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
         n = len(chunk)
         sam: list[str] = []
@@ -667,18 +698,22 @@ class KartMapper:
             if self.use_device:
                 flat = self._seed_sensitive_batch_flat([self._encode(r.seq) for r in chunk])
                 seeds_dev = self._seeds_to_lists(n, flat, key=lambda s: (s.gpos, s.rpos))
+            cands_all = []
             for ri, r in enumerate(chunk):
-                st = self._make_state(r)
+                states.append(self._make_state(r))
                 enc = self._encode(r.seq)
                 seeds = seeds_dev[ri] if seeds_dev is not None else self._seed_sensitive(enc)
                 cands = gen_candidates_pacbio(r.rlen, seeds)
                 remove_redundant_candidates(cands, pacbio=True)
+                cands_all.append(cands)
+            self._batch_nw([(True, states[i], cands_all[i]) for i in range(n)])
+            for ri, st in enumerate(states):
                 gen_mapping_report(
-                    self.gidx, self.conquer, True, st, cands, True, self.multi_hit
+                    self.gidx, self.conquer, True, st, cands_all[ri], True, self.multi_hit
                 )
                 set_single_flag(st)
                 evaluate_mapq(st, pacbio=True)
-                states.append(st)
+            self.conquer.nw_memo = None
             for st in states:
                 sam.extend(output_single(self.gidx, st, fastq, self.multi_hit, my))
         elif pair_end and n % 2 == 0:
@@ -687,6 +722,7 @@ class KartMapper:
                 n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
             )
             states = [self._make_state(r) for r in chunk]
+            cands_all: list = [None] * n
             for i in range(0, n, 2):
                 j = i + 1
                 st1, st2 = states[i], states[j]
@@ -712,16 +748,24 @@ class KartMapper:
                     remove_unmated_candidates(cands1, cands2)
                 remove_redundant_candidates(cands1, pacbio=False)
                 remove_redundant_candidates(cands2, pacbio=False)
+                cands_all[i], cands_all[j] = cands1, cands2
+            self._batch_nw(
+                [(i % 2 == 0, states[i], cands_all[i]) for i in range(n)]
+            )
+            for i in range(0, n, 2):
+                j = i + 1
+                st1, st2 = states[i], states[j]
                 gen_mapping_report(
-                    self.gidx, self.conquer, True, st1, cands1, False, self.multi_hit
+                    self.gidx, self.conquer, True, st1, cands_all[i], False, self.multi_hit
                 )
                 gen_mapping_report(
-                    self.gidx, self.conquer, False, st2, cands2, False, self.multi_hit
+                    self.gidx, self.conquer, False, st2, cands_all[j], False, self.multi_hit
                 )
                 check_paired_final_alignments(st1, st2, self.multi_hit)
                 set_paired_flags(st1, st2)
                 evaluate_mapq(st1, pacbio=False)
                 evaluate_mapq(st2, pacbio=False)
+            self.conquer.nw_memo = None
             for i in range(0, n, 2):
                 sam.extend(
                     output_paired(self.gidx, states[i], states[i + 1], fastq, self.multi_hit, my)
@@ -731,14 +775,19 @@ class KartMapper:
                 n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
             )
             states = [self._make_state(r) for r in chunk]
+            cands_all = []
             for i, st in enumerate(states):
                 cands = gen_candidates_illumina(st.rlen, seeds_all[i], self.gidx, self.max_gaps)
                 remove_redundant_candidates(cands, pacbio=False)
+                cands_all.append(cands)
+            self._batch_nw([(True, states[i], cands_all[i]) for i in range(n)])
+            for i, st in enumerate(states):
                 gen_mapping_report(
-                    self.gidx, self.conquer, True, st, cands, False, self.multi_hit
+                    self.gidx, self.conquer, True, st, cands_all[i], False, self.multi_hit
                 )
                 set_single_flag(st)
                 evaluate_mapq(st, pacbio=False)
+            self.conquer.nw_memo = None
             for st in states:
                 sam.extend(output_single(self.gidx, st, fastq, self.multi_hit, my))
         self.stats["total"] += n

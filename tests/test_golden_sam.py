@@ -148,3 +148,17 @@ def test_pacbio_device_pipelined(golden, monkeypatch):
     monkeypatch.setenv("KART_SEED_MODE", "device")
     args = ["-pacbio", "-f", str(golden / "pb1.fq")]
     run_both(golden, args, args, "pb_devpipe")
+
+
+def test_paired_end_batched_device_nw(golden, monkeypatch):
+    """Batched device conquer: per-chunk NW fragments collected and run as
+    one Pallas NW batch, report pass replays from the memo."""
+    monkeypatch.setenv("KART_BATCH_NW", "1")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pe_batchnw")
+
+
+def test_pacbio_batched_device_nw(golden, monkeypatch):
+    monkeypatch.setenv("KART_BATCH_NW", "1")
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pb_batchnw")
