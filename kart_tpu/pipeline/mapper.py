@@ -688,6 +688,19 @@ class KartMapper:
             pairs = sorted(keys)  # deterministic batch order
             self.conquer.nw_memo = dict(zip(pairs, nw_align_batch(pairs)))
 
+    def _device_cluster(self, states, seeds_all):
+        """Batched device candidate clustering (KART_DEVICE_CLUSTER=1,
+        Illumina FastMode only); None -> host clustering."""
+        import os
+
+        if os.environ.get("KART_DEVICE_CLUSTER") != "1" or not self.use_device:
+            return None
+        from ..ops.cluster import cluster_batch_to_candidates
+
+        return cluster_batch_to_candidates(
+            self.gidx, seeds_all, [st.rlen for st in states], self.max_gaps
+        )
+
     def _map_chunk_python(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
         n = len(chunk)
         sam: list[str] = []
@@ -722,16 +735,20 @@ class KartMapper:
                 n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
             )
             states = [self._make_state(r) for r in chunk]
+            dev_cands = self._device_cluster(states, seeds_all)
             cands_all: list = [None] * n
             for i in range(0, n, 2):
                 j = i + 1
                 st1, st2 = states[i], states[j]
-                cands1 = gen_candidates_illumina(
-                    st1.rlen, seeds_all[i], self.gidx, self.max_gaps
-                )
-                cands2 = gen_candidates_illumina(
-                    st2.rlen, seeds_all[j], self.gidx, self.max_gaps
-                )
+                if dev_cands is not None:
+                    cands1, cands2 = dev_cands[i], dev_cands[j]
+                else:
+                    cands1 = gen_candidates_illumina(
+                        st1.rlen, seeds_all[i], self.gidx, self.max_gaps
+                    )
+                    cands2 = gen_candidates_illumina(
+                        st2.rlen, seeds_all[j], self.gidx, self.max_gaps
+                    )
                 pairing = check_paired_candidates(est, cands1, cands2)
                 if not pairing:
                     pairing = rescue_unpaired(
@@ -775,9 +792,15 @@ class KartMapper:
                 n, self._seed_batch_flat([self._encode(r.seq) for r in chunk])
             )
             states = [self._make_state(r) for r in chunk]
+            dev_cands = self._device_cluster(states, seeds_all)
             cands_all = []
             for i, st in enumerate(states):
-                cands = gen_candidates_illumina(st.rlen, seeds_all[i], self.gidx, self.max_gaps)
+                if dev_cands is not None:
+                    cands = dev_cands[i]
+                else:
+                    cands = gen_candidates_illumina(
+                        st.rlen, seeds_all[i], self.gidx, self.max_gaps
+                    )
                 remove_redundant_candidates(cands, pacbio=False)
                 cands_all.append(cands)
             self._batch_nw([(True, states[i], cands_all[i]) for i in range(n)])

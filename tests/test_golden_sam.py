@@ -162,3 +162,10 @@ def test_pacbio_batched_device_nw(golden, monkeypatch):
     monkeypatch.setenv("KART_BATCH_NW", "1")
     args = ["-pacbio", "-f", str(golden / "pb1.fq")]
     run_both(golden, args, args + ["-backend", "python"], "pb_batchnw")
+
+
+def test_paired_end_device_cluster(golden, monkeypatch):
+    """Device candidate clustering (ops/cluster.py) in the full pipeline."""
+    monkeypatch.setenv("KART_DEVICE_CLUSTER", "1")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pe_devcluster")
