@@ -701,6 +701,26 @@ class KartMapper:
             self.gidx, seeds_all, [st.rlen for st in states], self.max_gaps
         )
 
+    def _device_pair(self, est: int, cands_all: list):
+        """Batched device PE mating for the whole chunk
+        (KART_DEVICE_PAIR=1); None -> host pairing.  Applies the
+        reference's >1000 candidate-product pre-prune on host first
+        (Mapping.cpp:356-360)."""
+        import os
+
+        if os.environ.get("KART_DEVICE_PAIR") != "1" or not self.use_device:
+            return None
+        from ..ops.pairing import pair_chunk_on_device
+
+        pairs = []
+        for i in range(0, len(cands_all), 2):
+            c1, c2 = cands_all[i], cands_all[i + 1]
+            if len(c1) * len(c2) > 1000:
+                remove_redundant_candidates(c1, pacbio=False)
+                remove_redundant_candidates(c2, pacbio=False)
+            pairs.append((c1, c2))
+        return pair_chunk_on_device(est, pairs)
+
     def _map_chunk_python(self, chunk: list[RawRead], pair_end: bool, fastq: bool) -> list[str]:
         n = len(chunk)
         sam: list[str] = []
@@ -749,7 +769,16 @@ class KartMapper:
                     cands2 = gen_candidates_illumina(
                         st2.rlen, seeds_all[j], self.gidx, self.max_gaps
                     )
-                pairing = check_paired_candidates(est, cands1, cands2)
+                cands_all[i], cands_all[j] = cands1, cands2
+            pairing_flags = self._device_pair(est, cands_all)
+            for i in range(0, n, 2):
+                j = i + 1
+                st1, st2 = states[i], states[j]
+                cands1, cands2 = cands_all[i], cands_all[j]
+                if pairing_flags is not None:
+                    pairing = pairing_flags[i // 2]
+                else:
+                    pairing = check_paired_candidates(est, cands1, cands2)
                 if not pairing:
                     pairing = rescue_unpaired(
                         self.gidx,

@@ -169,3 +169,13 @@ def test_paired_end_device_cluster(golden, monkeypatch):
     monkeypatch.setenv("KART_DEVICE_CLUSTER", "1")
     args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
     run_both(golden, args, args + ["-backend", "python"], "pe_devcluster")
+
+
+def test_paired_end_full_device_stages(golden, monkeypatch):
+    """All device stages at once: device seeding + clustering + pairing +
+    batched Pallas NW conquer, through the python pipeline."""
+    monkeypatch.setenv("KART_DEVICE_CLUSTER", "1")
+    monkeypatch.setenv("KART_DEVICE_PAIR", "1")
+    monkeypatch.setenv("KART_BATCH_NW", "1")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args + ["-backend", "python"], "pe_alldevice")
