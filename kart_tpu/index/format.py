@@ -24,7 +24,6 @@ row of the full-text suffix and the sentinel's BWT char is omitted.
 from __future__ import annotations
 
 import os
-import re
 from dataclasses import dataclass, field
 
 import numpy as np

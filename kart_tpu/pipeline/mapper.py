@@ -16,13 +16,11 @@ from ..io.fastq import RawRead
 from ..ops.fm_ref import fm_from_genome_index
 from ..ops.fm_search import (
     FMIndexArrays,
-    sa_resolve_full,
     seed_scan,
     sensitive_scan,
     unpack_seed_scan,
 )
 from .candidates import (
-    Candidate,
     Seed,
     gen_candidates_illumina,
     gen_candidates_pacbio,
