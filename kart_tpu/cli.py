@@ -161,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipeline.mapper import KartMapper
     from .pipeline.sam import sam_header
 
+    if debug:
+        threads = 1  # reference: debug mode forces one thread (Mapping.cpp:648)
     mapper = KartMapper(
         gidx,
         pacbio=pacbio,
@@ -168,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         multi_hit=multi_hit,
         use_device=use_device,
         backend=backend,
+        n_threads=threads,
     )
 
     if out_format == 0:

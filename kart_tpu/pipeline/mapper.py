@@ -67,6 +67,7 @@ class KartMapper:
         multi_hit: bool = False,
         use_device: bool = True,
         backend: str = "native",
+        n_threads: int = 0,
     ):
         self.gidx = gidx
         self.pacbio = pacbio
@@ -89,7 +90,8 @@ class KartMapper:
                 from ..native.post import NativePostProcessor
 
                 self.native = NativePostProcessor(
-                    gidx, pacbio, max_gaps, max_insert_size, self.min_seed_len, multi_hit
+                    gidx, pacbio, max_gaps, max_insert_size, self.min_seed_len,
+                    multi_hit, n_threads=n_threads,
                 )
             except Exception:
                 self.native = None
