@@ -82,7 +82,54 @@ class KmerSeedTables:
         return getattr(self, key)
 
 
-def build_tables(gidx, seg_pad: int = 1024) -> KmerSeedTables:
+def build_tables(gidx, seg_pad: int = 1024, cache: bool = True) -> KmerSeedTables:
+    """Build (or load from the `.kmt` index sidecar) the direct-lookup
+    seeding tables.  The sidecar makes table construction a one-time cost
+    per index — required for large genomes, where the numpy build takes
+    tens of seconds."""
+    prefix = getattr(gidx.raw, "prefix", None)
+    kmt = prefix + ".kmt" if prefix else None
+    if cache and kmt:
+        try:
+            import os
+
+            if os.path.exists(kmt):
+                z = np.load(kmt)
+                return KmerSeedTables(
+                    table_lo_np=z["table_lo"],
+                    text_np=z["text"],
+                    sa_full_np=gidx.sa_full.astype(np.int32),
+                    bitmaps_np=tuple(z[f"bm{i}"] for i in range(len(BITMAP_KS))),
+                    seq_len=int(z["seq_len"][0]),
+                    max_mult=int(z["seq_len"][1]),
+                    all_short_present=bool(z["seq_len"][2]),
+                )
+        except Exception:
+            pass
+    tb = _build_tables_fresh(gidx, seg_pad)
+    if cache and kmt:
+        try:
+            arrs = dict(
+                table_lo=tb.table_lo_np,
+                text=tb.text_np,
+                seq_len=np.array(
+                    [tb.seq_len, tb.max_mult, int(tb.all_short_present)], np.int64
+                ),
+            )
+            for i, bm in enumerate(tb.bitmaps_np):
+                arrs[f"bm{i}"] = bm
+            tmp = kmt + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrs)
+            import os
+
+            os.replace(tmp, kmt)
+        except Exception:
+            pass
+    return tb
+
+
+def _build_tables_fresh(gidx, seg_pad: int = 1024) -> KmerSeedTables:
     codes = gidx.ref_codes.astype(np.int64)  # (2L,), values 0..3
     seq_len = int(gidx.seq_len)
     sa = gidx.sa_full.astype(np.int64)  # (2L+1,)

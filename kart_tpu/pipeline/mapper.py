@@ -111,9 +111,14 @@ class KartMapper:
         self._kmer_tables_tried = True
         if not (self.use_device or self.native is not None):
             return None
-        # gate: direct table is 4^13 ints; multiplicities must be bounded and
-        # every 4-mer must occur so sub-13 restart lengths are exact
-        if self.gidx.seq_len > 60_000_000:
+        # gate: multiplicities must be bounded and every 4-mer must occur so
+        # sub-13 restart lengths are exact; the 4^13-int table itself is
+        # genome-size independent (268MB) and cached as the .kmt sidecar,
+        # so genomes up to ~600Mbp (1.2G text, int32 SA) qualify
+        import os
+
+        gate = int(os.environ.get("KART_KMER_GATE", "1200000000"))
+        if self.gidx.seq_len > gate:
             return None
         try:
             from ..ops.kmer_seed import build_tables

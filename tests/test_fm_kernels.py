@@ -198,3 +198,24 @@ def test_sensitive_scan_matches_host(tiny_index):
             for o in range(fq):
                 got.append((rp, ln, int(sa_full[k0 + o])))
         assert got == want, f"read {i}: {got[:5]} vs {want[:5]}"
+
+
+def test_kmer_table_sidecar_cache(tiny_index, workdir):
+    """.kmt sidecar round-trips the direct-lookup tables exactly."""
+    import os
+
+    from kart_tpu.ops.kmer_seed import build_tables
+
+    kmt = tiny_index.raw.prefix + ".kmt"
+    if os.path.exists(kmt):
+        os.remove(kmt)
+    fresh = build_tables(tiny_index)  # builds and writes the sidecar
+    assert os.path.exists(kmt)
+    cached = build_tables(tiny_index)  # loads the sidecar
+    np.testing.assert_array_equal(cached.table_lo_np, fresh.table_lo_np)
+    np.testing.assert_array_equal(cached.text_np, fresh.text_np)
+    for a, b in zip(cached.bitmaps_np, fresh.bitmaps_np):
+        np.testing.assert_array_equal(a, b)
+    assert (cached.seq_len, cached.max_mult, cached.all_short_present) == (
+        fresh.seq_len, fresh.max_mult, fresh.all_short_present,
+    )

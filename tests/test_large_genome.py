@@ -46,6 +46,17 @@ def test_large_genome_golden(workdir):
         ["kart-tpu", "-i", str(d / "idx"), "-f", str(d / "b1.fq"),
          "-f2", str(d / "b2.fq"), "-o", str(d / "ours.sam"), "-silent"]
     ) == 0
+    # the no-tables fallback (device FM seeding) must agree with the
+    # direct-table path
+    os.environ["KART_KMER_GATE"] = "1"
+    try:
+        assert kart_cli.main(
+            ["kart-tpu", "-i", str(d / "idx"), "-f", str(d / "b1.fq"),
+             "-f2", str(d / "b2.fq"), "-o", str(d / "ours_fm.sam"), "-silent"]
+        ) == 0
+    finally:
+        del os.environ["KART_KMER_GATE"]
+    assert (d / "ours_fm.sam").read_bytes() == (d / "ours.sam").read_bytes()
     if not (d / "refidx.bwt").exists():
         subprocess.run([str(REFBUILD / "bin" / "bwt_index"), str(fa), str(d / "refidx")],
                        check=True, capture_output=True)
