@@ -37,6 +37,14 @@ NEW_GAP = np.float32(-1.5)
 
 LANES = 128  # fragment pairs per grid step (VPU lane width)
 
+# Device tiles are 16/32 only: the divide step keeps normal pairs ~20bp
+# (reference README; repartition re-splits anything larger), so these are
+# the hot sizes.  The kernel keeps ~30 live (lm+1, lm+1, 128) planes
+# (Mosaic pads the lane dim to 128 regardless of the logical batch), which
+# exceeds the 16MB VMEM budget at lm >= 64 — rare large fragments take the
+# host DP instead.
+_TILE_LANES = {16: 128, 32: 128}
+
 
 def _nw_kernel(c1_ref, c2_ref, eq_ref, *, lm: int):
     """One grid step: LANES fragment pairs, tile (lm x lm).
@@ -54,32 +62,39 @@ def _nw_kernel(c1_ref, c2_ref, eq_ref, *, lm: int):
     # Plain code equality: the reference compares nst_nt4 codes (N == N
     # matches); callers remap real ambiguous bases to a shared code and
     # pad the two sides with DIFFERENT codes so padding never matches.
-    match = c1[:, None, :] == c2[None, :, :]
-    sub = jnp.where(match, jnp.float32(1.5), jnp.float32(-1.5))  # (lm, lm, N)
+    # All masks are materialized at full (lp, lp, n) shape, and the match
+    # plane is computed arithmetically (|c1-c2| clamped to {0,1}): an i1
+    # comparison of two differently-replicated broadcast layouts trips a
+    # Mosaic relayout bug ("non-singleton logical dimension is replicated").
+    c1i = c1.astype(jnp.int32)
+    c2i = c2.astype(jnp.int32)
+    diff = c1i[:, None, :] - c2i[None, :, :]  # (lm, lm, N) i32
+    nz = jnp.minimum(jnp.abs(diff), 1).astype(jnp.float32)  # 0 = match
+    sub = jnp.float32(1.5) - jnp.float32(3.0) * nz
     sub = jnp.pad(sub, ((1, 0), (1, 0), (0, 0)))  # align to (i, j) planes
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (lp, lp, 1), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (lp, lp, 1), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (lp, lp, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (lp, lp, n), 1)
 
     # boundary init (nw_alignment.cpp:36-46)
     col0 = jj == 0
     row0 = ii == 0
     gap_i = OPEN_GAP + ii.astype(jnp.float32) * EXTEND_GAP
     gap_j = OPEN_GAP + jj.astype(jnp.float32) * EXTEND_GAP
-    zero = jnp.zeros((lp, lp, n), jnp.float32)
     origin = row0 & col0
-    r = zero + jnp.where(row0, gap_j, MAX_PENALTY)
-    t = zero + jnp.where(col0, gap_i, MAX_PENALTY)
-    s = zero + jnp.where(col0, gap_i, jnp.where(row0, gap_j, 0))
+    r = jnp.where(row0, gap_j, MAX_PENALTY)
+    t = jnp.where(col0, gap_i, MAX_PENALTY)
+    s = jnp.where(col0, gap_i, jnp.where(row0, gap_j, 0))
     r = jnp.where(origin, 0.0, r)
     t = jnp.where(origin, 0.0, t)
     s = jnp.where(origin, 0.0, s)
 
     interior = (ii >= 1) & (jj >= 1)
+    dsum = ii + jj
 
     def diag_step(d, carry):
         r, t, s = carry
-        on_diag = interior & (ii + jj == d)
+        on_diag = interior & (dsum == d)
         r_left = pltpu.roll(r, 1, axis=1)  # r[i, j-1] at (i, j)
         s_left = pltpu.roll(s, 1, axis=1)
         t_up = pltpu.roll(t, 1, axis=0)  # t[i-1, j]
@@ -97,10 +112,12 @@ def _nw_kernel(c1_ref, c2_ref, eq_ref, *, lm: int):
 
     r, t, s = jax.lax.fori_loop(2, 2 * lm + 1, diag_step, (r, t, s))
 
-    eq = (s == r).astype(jnp.uint8) | ((s == t).astype(jnp.uint8) << 1)
+    # pack the two decision bits in int32 (int8 shifts don't legalize in
+    # Mosaic), then narrow for the output
+    eq = (s == r).astype(jnp.int32) + 2 * (s == t).astype(jnp.int32)
     # boundary rows/cols never tie-break through these bits in the walk's
     # interior; the walk handles i==0 / j==0 explicitly
-    eq_ref[:] = eq
+    eq_ref[:] = eq.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("lm", "interpret"))
@@ -111,21 +128,22 @@ def nw_batch_planes(c1, c2, *, lm: int, interpret: bool = False):
     padding never matches).  Returns (N, lm+1, lm+1) uint8 bitplanes.
     """
     n = c1.shape[0]
-    n_pad = -(-n // LANES) * LANES
+    lanes = _TILE_LANES[lm]
+    n_pad = -(-n // lanes) * lanes
     c1p = jnp.pad(c1, ((0, n_pad - n), (0, 0)), constant_values=4).T  # (lm, Np)
     c2p = jnp.pad(c2, ((0, n_pad - n), (0, 0)), constant_values=5).T
     lp = lm + 1
 
-    grid = (n_pad // LANES,)
+    grid = (n_pad // lanes,)
     eq = pl.pallas_call(
         functools.partial(_nw_kernel, lm=lm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((lm, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lm, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (lp, lp, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (lp, lp, lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((lp, lp, n_pad), jnp.uint8),
         interpret=interpret,
@@ -161,7 +179,7 @@ def nw_backtrace(eq: np.ndarray, s1: bytes, s2: bytes) -> tuple[bytes, bytes]:
     return bytes(out1), bytes(out2)
 
 
-_TILES = (16, 32, 64, 128, 256, 512)
+_TILES = (16, 32)  # larger fragments take the host DP (see _TILE_LANES)
 
 
 def _nw_tile_batch(pairs, lm, interpret):
