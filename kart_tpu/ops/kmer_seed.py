@@ -223,10 +223,11 @@ def kmer_seed_scan(
     last_valid = seq_len - K
     reads = reads.astype(jnp.int32)  # int8 transfers welcome
 
-    # rolling 13-mer ids per read position; window-amb flag
-    r64 = reads.astype(jnp.int64)
+    # rolling 13-mer ids per read position (26 bits, int32 suffices);
+    # window-amb flag
+    r64 = reads.astype(jnp.int32)
     padded = jnp.pad(r64, ((0, 0), (0, K)), constant_values=4)
-    kmer = jnp.zeros((B, l_max), jnp.int64)
+    kmer = jnp.zeros((B, l_max), jnp.int32)
     amb_in_win = jnp.zeros((B, l_max), bool)
     for i in range(K):
         col = jax.lax.dynamic_slice_in_dim(padded, i, l_max, axis=1)
