@@ -2421,14 +2421,19 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
       int hi = std::min((int64_t)(t + 1) * per * unit, (int64_t)n_reads);
       if (lo >= hi) break;
       used = t + 1;
-      threads.emplace_back([&, lo, hi, t]() {
+      auto work = [&, lo, hi, t]() {
         if (do_pairs)
           process_pair_range(ctx, in, seed_base, est, lo, hi, states, tstats[t],
                              touts[t]);
         else
           process_single_range(ctx, in, seed_base, lo, hi, states, tstats[t],
                                touts[t]);
-      });
+      };
+      // the calling thread runs the last share itself instead of idling
+      if (t == nt - 1 || hi >= n_reads)
+        work();
+      else
+        threads.emplace_back(work);
     }
     for (auto& th : threads) th.join();
     size_t total = 0;
