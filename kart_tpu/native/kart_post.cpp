@@ -2409,38 +2409,36 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
   OutStats st;
   std::string out;
   if (nt > 1 && n_reads >= 64) {
-    std::vector<std::thread> threads;
-    int unit = do_pairs ? 2 : 1;
-    int n_units = n_reads / unit;
-    int per = (n_units + nt - 1) / nt;
+    // work stealing over fixed blocks: no straggler tail, and the block
+    // table keeps output order deterministic (in-order concat)
+    const int BS = 128;  // reads per block (even: pairs stay together)
+    int n_blocks = (n_reads + BS - 1) / BS;
+    std::vector<std::string> bouts(n_blocks);
     std::vector<OutStats> tstats(nt);
-    std::vector<std::string> touts(nt);
-    int used = 0;
-    for (int t = 0; t < nt; t++) {
-      int lo = t * per * unit;
-      int hi = std::min((int64_t)(t + 1) * per * unit, (int64_t)n_reads);
-      if (lo >= hi) break;
-      used = t + 1;
-      auto work = [&, lo, hi, t]() {
+    std::atomic<int> next{0};
+    auto worker = [&](int tid) {
+      while (true) {
+        int b = next.fetch_add(1, std::memory_order_relaxed);
+        if (b >= n_blocks) break;
+        int lo = b * BS;
+        int hi = std::min(n_reads, lo + BS);
         if (do_pairs)
-          process_pair_range(ctx, in, seed_base, est, lo, hi, states, tstats[t],
-                             touts[t]);
+          process_pair_range(ctx, in, seed_base, est, lo, hi, states,
+                             tstats[tid], bouts[b]);
         else
-          process_single_range(ctx, in, seed_base, lo, hi, states, tstats[t],
-                               touts[t]);
-      };
-      // the calling thread runs the last share itself instead of idling
-      if (t == nt - 1 || hi >= n_reads)
-        work();
-      else
-        threads.emplace_back(work);
-    }
+          process_single_range(ctx, in, seed_base, lo, hi, states,
+                               tstats[tid], bouts[b]);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t + 1 < nt; t++) threads.emplace_back(worker, t);
+    worker(nt - 1);  // the calling thread participates
     for (auto& th : threads) th.join();
     size_t total = 0;
-    for (int t = 0; t < used; t++) total += touts[t].size();
+    for (auto& b : bouts) total += b.size();
     out.reserve(total);
-    for (int t = 0; t < used; t++) {
-      out += touts[t];
+    for (auto& b : bouts) out += b;
+    for (int t = 0; t < nt; t++) {
       st.paired += tstats[t].paired;
       st.distance += tstats[t].distance;
       st.unique += tstats[t].unique;
