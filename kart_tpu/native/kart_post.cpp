@@ -566,6 +566,7 @@ struct ReadState {
   const uint8_t* seq;
   const uint8_t* qual;  // may be null
   int32_t rlen;
+  int32_t qual_len = 0;  // min(quality line len, rlen) — reference strncpy
   int32_t mapq = 0, score = 0, sub_score = 0, can_num = 0, best_idx = 0;
   std::vector<Report> reports;
 };
@@ -1808,7 +1809,7 @@ static void append_record(std::string& out, const ReadState& r, const Report& re
   if (qual_star)
     out += '*';
   else
-    out.append(qual_s, r.rlen);
+    out.append(qual_s, r.qual_len);
   out += "\tNM:i:";
   append_int(out, r.rlen - r.score);
   out += "\tAS:i:";
@@ -1826,7 +1827,7 @@ static void append_unmapped(std::string& out, const ReadState& r) {
   out.append((const char*)r.seq, r.rlen);
   out += '\t';
   if (r.qual)
-    out.append((const char*)r.qual, r.rlen);
+    out.append((const char*)r.qual, r.qual_len);
   else
     out += '*';
   out += "\tAS:i:0\tXS:i:0\n";
@@ -1841,7 +1842,8 @@ static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st
   }
   if (r.mapq == MAX_MAPQ) st.unique++;
   std::string fwd((const char*)r.seq, r.rlen);
-  std::string qual = (fastq && r.qual) ? std::string((const char*)r.qual, r.rlen) : "*";
+  std::string qual =
+      (fastq && r.qual) ? std::string((const char*)r.qual, r.qual_len) : "*";
   bool ql_star = !(fastq && r.qual);
   std::string rseq, rqual;
   bool have_rev = false;
@@ -1872,7 +1874,7 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     if (r1.mapq == MAX_MAPQ) st.unique++;
     std::string fwd((const char*)r1.seq, r1.rlen);
     std::string qual =
-        (fastq && r1.qual) ? std::string((const char*)r1.qual, r1.rlen) : "*";
+        (fastq && r1.qual) ? std::string((const char*)r1.qual, r1.qual_len) : "*";
     bool ql_star = !(fastq && r1.qual);
     std::string rseq, rqual;
     bool have_rev = false;
@@ -1910,7 +1912,7 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     if (r2.mapq == MAX_MAPQ) st.unique++;
     std::string stored((const char*)r2.seq, r2.rlen);
     std::string qual =
-        (fastq && r2.qual) ? std::string((const char*)r2.qual, r2.rlen) : "*";
+        (fastq && r2.qual) ? std::string((const char*)r2.qual, r2.qual_len) : "*";
     bool ql_star = !(fastq && r2.qual);
     std::string orig, rqual;
     bool have_fwd = false;
@@ -1963,6 +1965,7 @@ static void make_read_state(const ChunkIn& in, int i, ReadState& r) {
   r.seq = in.seq_concat + in.seq_off[i];
   r.rlen = (int32_t)(in.seq_off[i + 1] - in.seq_off[i]);
   r.qual = in.qual_concat ? in.qual_concat + in.qual_off[i] : nullptr;
+  r.qual_len = in.qual_concat ? (int32_t)(in.qual_off[i + 1] - in.qual_off[i]) : 0;
 }
 
 // Build PosDiff-sorted (Illumina) or gPos-sorted (PacBio) seed vector for
@@ -2201,13 +2204,17 @@ struct GzLineReader {
 struct ChunkBufs {
   std::vector<uint8_t> seq, qual;  // concatenated bases / quality strings
   std::string headers;             // concatenated trimmed headers
-  std::vector<int64_t> seq_off, header_off;
+  // qual has its own offsets: the reference stores min(line len, rlen)
+  // quality bytes (GetData.cpp GetNextEntry strncpy semantics), so a
+  // malformed short quality line yields a short qual, newline included
+  std::vector<int64_t> seq_off, qual_off, header_off;
   int32_t n = 0;
   void reset() {
     seq.clear();
     qual.clear();
     headers.clear();
     seq_off.assign(1, 0);
+    qual_off.assign(1, 0);
     header_off.assign(1, 0);
     n = 0;
   }
@@ -2255,8 +2262,8 @@ struct NativeReader {
       rd.getline(qline);  // '+' separator
       rd.getline(qline);  // quality
       b.seq.insert(b.seq.end(), seqline.begin(), seqline.begin() + rlen);
-      if ((int64_t)qline.size() < rlen) qline.resize(rlen, '!');
-      b.qual.insert(b.qual.end(), qline.begin(), qline.begin() + rlen);
+      int64_t qn = (int64_t)qline.size() < rlen ? (int64_t)qline.size() : rlen;
+      b.qual.insert(b.qual.end(), qline.begin(), qline.begin() + qn);
     } else {
       fa_seq.clear();
       while (true) {
@@ -2275,6 +2282,7 @@ struct NativeReader {
     b.headers.append(line.data() + p1, p2 - p1);
     b.header_off.push_back((int64_t)b.headers.size());
     b.seq_off.push_back((int64_t)b.seq.size());
+    b.qual_off.push_back((int64_t)b.qual.size());
     b.n++;
     return rlen;
   }
@@ -2284,7 +2292,9 @@ struct NativeReader {
     int64_t s = b.seq_off[b.n - 1], e = b.seq_off[b.n];
     std::reverse(b.seq.begin() + s, b.seq.begin() + e);
     for (int64_t i = s; i < e; i++) b.seq[i] = (uint8_t)COMP[b.seq[i]];
-    if (fastq) std::reverse(b.qual.begin() + s, b.qual.begin() + e);
+    if (fastq)
+      std::reverse(b.qual.begin() + b.qual_off[b.n - 1],
+                   b.qual.begin() + b.qual_off[b.n]);
   }
 
   // GetNextChunk loop (GetData.cpp:109-143)
@@ -2581,7 +2591,8 @@ void* kart_reader_open(const char* path1, const char* path2, int32_t fastq,
 // kart_reader_next_chunk / kart_reader_close call.  *qual is NULL for FASTA.
 int32_t kart_reader_next_chunk(void* h, const uint8_t** seq,
                                const int64_t** seq_off, const uint8_t** qual,
-                               const char** headers, const int64_t** header_off) {
+                               const int64_t** qual_off, const char** headers,
+                               const int64_t** header_off) {
   NativeReader* r = (NativeReader*)h;
   if (r->exhausted) return 0;
   r->join_prefetch();
@@ -2594,6 +2605,7 @@ int32_t kart_reader_next_chunk(void* h, const uint8_t** seq,
   *seq = b.seq.data();
   *seq_off = b.seq_off.data();
   *qual = (r->fastq && !b.qual.empty()) ? b.qual.data() : nullptr;
+  *qual_off = b.qual_off.data();
   *headers = b.headers.data();
   *header_off = b.header_off.data();
   return b.n;

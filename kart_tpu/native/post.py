@@ -88,7 +88,7 @@ def load_postlib():
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
-        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.kart_reader_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -129,20 +129,21 @@ class NativeReader:
             raise RuntimeError(f"cannot open read file: {path1} / {path2}")
 
     def next_chunk(self):
-        """-> (n_reads, (seq, seq_off, qual, headers, header_off) raw ptrs);
-        n_reads == 0 at end of input.  Pointers stay valid across ONE
-        further next_chunk() call (3 internal buffers — depth-1
+        """-> (n_reads, (seq, seq_off, qual, qual_off, headers, header_off)
+        raw ptrs); n_reads == 0 at end of input.  Pointers stay valid across
+        ONE further next_chunk() call (3 internal buffers — depth-1
         pipelining), then are reused."""
         seq = ctypes.c_void_p()
         seq_off = ctypes.c_void_p()
         qual = ctypes.c_void_p()
+        qual_off = ctypes.c_void_p()
         headers = ctypes.c_void_p()
         header_off = ctypes.c_void_p()
         n = self.lib.kart_reader_next_chunk(
             self.h, ctypes.byref(seq), ctypes.byref(seq_off), ctypes.byref(qual),
-            ctypes.byref(headers), ctypes.byref(header_off),
+            ctypes.byref(qual_off), ctypes.byref(headers), ctypes.byref(header_off),
         )
-        return n, (seq, seq_off, qual, headers, header_off)
+        return n, (seq, seq_off, qual, qual_off, headers, header_off)
 
     def close(self):
         if getattr(self, "h", None):
@@ -234,7 +235,7 @@ class NativePostProcessor:
     def process_chunk_ptrs(self, n, pair_end, fastq, ptrs, stats):
         """Zero-copy chunk mapping from NativeReader buffers (internal
         direct-lookup seeding; requires set_seed_tables).  Returns SAM text."""
-        seq, seq_off, qual, headers, header_off = ptrs
+        seq, seq_off, qual, qual_off, headers, header_off = ptrs
         i8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
         null_i32 = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
@@ -252,7 +253,7 @@ class NativePostProcessor:
             ctypes.cast(seq, i8p),
             ctypes.cast(seq_off, i64p),
             ctypes.cast(qual, i8p),
-            ctypes.cast(seq_off, i64p) if qual.value else null_i64,
+            ctypes.cast(qual_off, i64p) if qual.value else null_i64,
             ctypes.cast(headers, ctypes.c_char_p),
             ctypes.cast(header_off, i64p),
             null_i32, null_i32, null_i32, null_i64,
@@ -279,7 +280,7 @@ class NativePostProcessor:
     def encode_reads_ptrs(self, n, ptrs, rows, l_max):
         """Encode a NativeReader chunk into the device kernels' (rows,
         l_max) int8 layout (codes, padded 4).  Returns (reads, rlens)."""
-        seq, seq_off, _, _, _ = ptrs
+        seq, seq_off, _, _, _, _ = ptrs
         reads = np.full((rows, l_max), 4, dtype=np.int8)
         rlens = np.zeros(rows, dtype=np.int32)
         self.lib.kart_encode_reads(
@@ -296,7 +297,7 @@ class NativePostProcessor:
         """Chunk mapping from NativeReader buffers with DEVICE-produced
         packed seeds (seed_scan layout, (>=n, 1+4*max_seeds) int32);
         occurrence expansion happens natively.  Returns SAM text."""
-        seq, seq_off, qual, headers, header_off = ptrs
+        seq, seq_off, qual, qual_off, headers, header_off = ptrs
         i8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
         packed = np.ascontiguousarray(packed, dtype=np.int32)
@@ -313,7 +314,7 @@ class NativePostProcessor:
             ctypes.cast(seq, i8p),
             ctypes.cast(seq_off, i64p),
             ctypes.cast(qual, i8p),
-            ctypes.cast(seq_off, i64p) if qual.value else ctypes.cast(None, i64p),
+            ctypes.cast(qual_off, i64p) if qual.value else ctypes.cast(None, i64p),
             ctypes.cast(headers, ctypes.c_char_p),
             ctypes.cast(header_off, i64p),
             _i32p(packed),
@@ -343,7 +344,8 @@ class NativePostProcessor:
             qual_concat = b"".join(r.qual for r in chunk)
             qual_arr = np.frombuffer(qual_concat, dtype=np.uint8)
             qual_ptr = _u8p(qual_arr)
-            qual_off = seq_off
+            qual_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(r.qual) for r in chunk], out=qual_off[1:])
             qual_off_ptr = _i64p(qual_off)
         else:
             qual_arr = None

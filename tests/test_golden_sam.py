@@ -179,3 +179,26 @@ def test_paired_end_full_device_stages(golden, monkeypatch):
     monkeypatch.setenv("KART_BATCH_NW", "1")
     args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
     run_both(golden, args, args + ["-backend", "python"], "pe_alldevice")
+
+
+def test_malformed_inputs_match_reference(golden, workdir):
+    """Degenerate inputs (short quality line incl. the reference's raw
+    strncpy semantics, no trailing newline, N runs, tiny reads, header
+    trimming, lowercase) produce byte-identical output to the reference."""
+    d = workdir / "edge"
+    d.mkdir(exist_ok=True)
+    seq32 = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+    cases = {
+        "no_trail": f"@r0\n{seq32}\n+\n" + "I" * 32,
+        "short_qual": f"@r0\n{seq32}\n+\nIII\n@r1\nTTTT{seq32[:24]}TTTT\n+\n"
+        + "I" * 32 + "\n",
+        "n_runs": "@r0\nACGTNNNNNNACGTACGTACGTACGTNNACGT\n+\n" + "I" * 32 + "\n",
+        "tiny": "@r0\nACGT\n+\nIIII\n",
+        "hdr": f"@read zzz/1\ttail\n{seq32}\n+\n" + "I" * 32 + "\n",
+        "lower": f"@r0\n{seq32.lower()}\n+\n" + "I" * 32 + "\n",
+    }
+    for name, text in cases.items():
+        f = d / f"{name}.fq"
+        f.write_text(text)
+        args = ["-f", str(f)]
+        run_both(golden, args, args, f"edge_{name}")
