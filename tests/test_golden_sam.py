@@ -202,3 +202,20 @@ def test_malformed_inputs_match_reference(golden, workdir):
         f.write_text(text)
         args = ["-f", str(f)]
         run_both(golden, args, args, f"edge_{name}")
+
+
+def test_multiple_libraries(golden, workdir):
+    """Two PE libraries in one invocation (-f a b -f2 c d): mapped
+    sequentially with shared insert-size state, like the reference."""
+    d = workdir / "multilib"
+    d.mkdir(exist_ok=True)
+    # split the golden reads into two libraries
+    for src, p1, p2 in (("r1.fq", "a1.fq", "b1.fq"), ("r2.fq", "a2.fq", "b2.fq")):
+        recs = (golden / src).read_text().splitlines(keepends=True)
+        recs = ["".join(recs[i : i + 4]) for i in range(0, len(recs), 4)]
+        half = len(recs) // 2
+        (d / p1).write_text("".join(recs[:half]))
+        (d / p2).write_text("".join(recs[half:]))
+    args = ["-f", str(d / "a1.fq"), str(d / "b1.fq"),
+            "-f2", str(d / "a2.fq"), str(d / "b2.fq")]
+    run_both(golden, args, args, "multilib")
