@@ -811,7 +811,8 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
     remove_translocated(seeds);
     check_overlapping_seeds(seeds);
     int num = (int)seeds.size();
-    std::vector<Seed> added;
+    thread_local std::vector<Seed> added;
+    added.clear();
     for (int i = 0; i + 1 < num; i++) {
       int j = i + 1;
       int32_t r_gaps = seeds[j].rpos - (seeds[i].rpos + seeds[i].rlen);
@@ -2062,6 +2063,7 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
                                int lo, int hi, std::vector<ReadState>& states,
                                OutStats& ost, std::string& out) {
   std::vector<Seed> seeds1, seeds2;
+  std::vector<Cand> cands1, cands2;
   bool prof = prof_on();
   int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0, t4 = 0, t5 = 0;
   out.reserve((size_t)(hi - lo) * 200);
@@ -2084,7 +2086,8 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
       collect_seeds(ctx, in, j, seed_base[j], seeds2);
     }
     if (prof) t1 = now_ns();
-    std::vector<Cand> cands1, cands2;
+    cands1.clear();
+    cands2.clear();
     gen_candidates_illumina(ctx, st1.rlen, seeds1, cands1);
     gen_candidates_illumina(ctx, st2.rlen, seeds2, cands2);
     if (prof) t2 = now_ns();
@@ -2121,6 +2124,7 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
   std::vector<Seed> seeds;
   out.reserve((size_t)(hi - lo) * 200);
   std::vector<std::vector<RawSeed>> raw;
+  std::vector<Cand> cands;
   bool pre = preseed_range(ctx, in, lo, hi, raw);
   for (int i = lo; i < hi; i++) {
     ReadState& st = states[i];
@@ -2128,7 +2132,7 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
       raw_to_sorted_seeds(false, raw[i - lo], seeds);
     else
       collect_seeds(ctx, in, i, seed_base[i], seeds);
-    std::vector<Cand> cands;
+    cands.clear();
     if (ctx.pacbio) {
       gen_candidates_pacbio(st.rlen, seeds, cands);
       remove_redundant(cands, true);
