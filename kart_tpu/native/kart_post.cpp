@@ -1358,7 +1358,8 @@ static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
       }
       identify_normal_pairs(read.rlen, -1, cands[i].seeds);
       if (!check_coordinate_validity(ctx, cands[i].seeds)) continue;
-      Cigar cigar;
+      thread_local Cigar cigar;
+      cigar.clear();
       auto& seeds = cands[i].seeds;
       int num = (int)seeds.size();
       for (int j = 0; j < num; j++) {
@@ -2060,8 +2061,12 @@ static bool preseed_range(const Ctx& ctx, const ChunkIn& in, int lo, int hi,
 // per-thread buffers; record order is identical).
 static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
                                const std::vector<int64_t>& seed_base, int64_t est,
-                               int lo, int hi, std::vector<ReadState>& states,
-                               OutStats& ost, std::string& out) {
+                               int lo, int hi, OutStats& ost, std::string& out) {
+  // reused across blocks: the ReadStates' report vectors (and their
+  // Coord strings) keep their capacity
+  thread_local std::vector<ReadState> states;
+  if ((int)states.size() < hi - lo) states.resize(hi - lo);
+  for (int i = lo; i < hi; i++) make_read_state(in, i, states[i - lo]);
   std::vector<Seed> seeds1, seeds2;
   std::vector<Cand> cands1, cands2;
   bool prof = prof_on();
@@ -2075,8 +2080,8 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
   }
   for (int i = lo; i < hi; i += 2) {
     int j = i + 1;
-    ReadState& st1 = states[i];
-    ReadState& st2 = states[j];
+    ReadState& st1 = states[i - lo];
+    ReadState& st2 = states[j - lo];
     if (prof) t0 = now_ns();
     if (pre) {
       raw_to_sorted_seeds(false, raw[i - lo], seeds1);
@@ -2119,15 +2124,17 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
 
 static void process_single_range(const Ctx& ctx, const ChunkIn& in,
                                  const std::vector<int64_t>& seed_base, int lo, int hi,
-                                 std::vector<ReadState>& states,
                                  OutStats& ost, std::string& out) {
+  thread_local std::vector<ReadState> states;
+  if ((int)states.size() < hi - lo) states.resize(hi - lo);
+  for (int i = lo; i < hi; i++) make_read_state(in, i, states[i - lo]);
   std::vector<Seed> seeds;
   out.reserve((size_t)(hi - lo) * 200);
   std::vector<std::vector<RawSeed>> raw;
   std::vector<Cand> cands;
   bool pre = preseed_range(ctx, in, lo, hi, raw);
   for (int i = lo; i < hi; i++) {
-    ReadState& st = states[i];
+    ReadState& st = states[i - lo];
     if (pre)
       raw_to_sorted_seeds(false, raw[i - lo], seeds);
     else
@@ -2405,9 +2412,6 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
       acc += in.seed_cnt[i];
     }
   }
-  std::vector<ReadState> states(n_reads);
-  for (int i = 0; i < n_reads; i++) make_read_state(in, i, states[i]);
-
   bool do_pairs = in.pair_end && n_reads % 2 == 0 && !ctx.pacbio;
   int64_t est = 0;
   if (do_pairs) {
@@ -2437,11 +2441,11 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
         int lo = b * BS;
         int hi = std::min(n_reads, lo + BS);
         if (do_pairs)
-          process_pair_range(ctx, in, seed_base, est, lo, hi, states,
-                             tstats[tid], bouts[b]);
+          process_pair_range(ctx, in, seed_base, est, lo, hi, tstats[tid],
+                             bouts[b]);
         else
-          process_single_range(ctx, in, seed_base, lo, hi, states,
-                               tstats[tid], bouts[b]);
+          process_single_range(ctx, in, seed_base, lo, hi, tstats[tid],
+                               bouts[b]);
       }
     };
     std::vector<std::thread> threads;
@@ -2461,9 +2465,9 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
   } else {
     out.reserve((size_t)n_reads * 200);
     if (do_pairs)
-      process_pair_range(ctx, in, seed_base, est, 0, n_reads, states, st, out);
+      process_pair_range(ctx, in, seed_base, est, 0, n_reads, st, out);
     else
-      process_single_range(ctx, in, seed_base, 0, n_reads, states, st, out);
+      process_single_range(ctx, in, seed_base, 0, n_reads, st, out);
   }
 
   stats[0] += st.paired;
