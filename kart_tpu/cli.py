@@ -174,14 +174,20 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if out_format == 0:
-        out_f = open(out_name, "w")
-        writer = out_f.write
+        out_f = open(out_name, "wb")
+
+        def writer(s):
+            out_f.write(s if isinstance(s, bytes) else s.encode("ascii"))
+
         closer = out_f.close
     else:
         from .io.bam import BamWriter
 
         bw = BamWriter(out_name, gidx, version=VERSION)
-        writer = bw.write_sam_text
+
+        def writer(s):
+            bw.write_sam_text(s.decode("ascii") if isinstance(s, bytes) else s)
+
         closer = bw.close
     writer(sam_header(gidx, VERSION))
 

@@ -165,6 +165,7 @@ struct Ctx {
   bool pacbio, multi_hit;
   int n_threads;
   SeedTables seed_tables;
+  std::string out_buf;  // last chunk's SAM text (valid until the next call)
 };
 
 // ---------------------------------------------------------------------------
@@ -2475,11 +2476,11 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
   stats[2] += st.unique;
   stats[3] += st.unmapped;
 
-  char* buf = (char*)malloc(out.size() + 1);
-  memcpy(buf, out.data(), out.size());
-  buf[out.size()] = '\0';
-  *sam_out = buf;
-  return (int64_t)out.size();
+  // hand back a pointer into the ctx-owned buffer (no extra copy);
+  // valid until the next process_chunk* call on this ctx
+  ctx.out_buf.swap(out);
+  *sam_out = const_cast<char*>(ctx.out_buf.data());
+  return (int64_t)ctx.out_buf.size();
 }
 
 // Attach only the full suffix array (occurrence expansion for device-seeded

@@ -260,8 +260,7 @@ class NativePostProcessor:
             _i64p(st),
             ctypes.byref(out),
         )
-        sam = ctypes.string_at(out, size).decode("ascii")
-        self.lib.kart_free(out)
+        sam = ctypes.string_at(out, size)  # bytes; buffer is ctx-owned
         stats["paired"] = int(st[0])
         stats["distance"] = int(st[1])
         stats["unique"] = int(st[2])
@@ -322,8 +321,7 @@ class NativePostProcessor:
             _i64p(st),
             ctypes.byref(out),
         )
-        sam = ctypes.string_at(out, size).decode("ascii")
-        self.lib.kart_free(out)
+        sam = ctypes.string_at(out, size)  # bytes; buffer is ctx-owned
         stats["paired"] = int(st[0])
         stats["distance"] = int(st[1])
         stats["unique"] = int(st[2])
@@ -392,8 +390,7 @@ class NativePostProcessor:
             _i64p(st),
             ctypes.byref(out),
         )
-        sam = ctypes.string_at(out, size).decode("ascii")
-        self.lib.kart_free(out)
+        sam = ctypes.string_at(out, size)  # bytes; buffer is ctx-owned
         stats["paired"] = int(st[0])
         stats["distance"] = int(st[1])
         stats["unique"] = int(st[2])

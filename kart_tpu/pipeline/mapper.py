@@ -423,7 +423,7 @@ class KartMapper:
                 c, use_pairs, fastq, cnts[r0:r1], rp[s0:s1], ln[s0:s1], gp[s0:s1], self.stats
             )
             self.stats["total"] += len(c)
-            out.extend(sam_text.splitlines())
+            out.extend(sam_text.decode("ascii").splitlines())
         return out
 
     # ------------------------------------------------------------------
@@ -635,7 +635,7 @@ class KartMapper:
                 chunk, use_pairs, fastq, None, None, None, None, self.stats
             )
             self.stats["total"] += n
-            return sam_text.splitlines()
+            return sam_text.decode("ascii").splitlines()
         if self.pacbio:
             if self.use_device:
                 flat = self._seed_sensitive_batch_flat([self._encode(r.seq) for r in chunk])
@@ -660,7 +660,7 @@ class KartMapper:
             chunk, use_pairs, fastq, flat[0], flat[1], flat[2], flat[3], self.stats
         )
         self.stats["total"] += n
-        return sam_text.splitlines()
+        return sam_text.decode("ascii").splitlines()
 
     def _batch_nw(self, report_jobs) -> None:
         """Batched device conquer: dry-run the report pass on deep copies to
