@@ -370,7 +370,7 @@ struct SeedMachine {
   int32_t lo = 0, hi = 0;
 };
 
-static const int SEED_PIPE_W = 8;
+static const int SEED_PIPE_W = 32;
 
 static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
                                     const int64_t* enc_off, int n_reads,
