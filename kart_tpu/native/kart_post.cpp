@@ -578,6 +578,26 @@ using Cigar = std::vector<std::pair<int, char>>;
 // Candidate generation (pipeline/candidates.py)
 // ---------------------------------------------------------------------------
 
+// Per-thread pool of seed buffers: Cand vectors are cleared per read, but
+// their seeds' heap blocks are recycled here instead of freed.
+static thread_local std::vector<std::vector<Seed>> g_seedbuf_pool;
+
+static inline std::vector<Seed> take_seedbuf() {
+  if (!g_seedbuf_pool.empty()) {
+    std::vector<Seed> b = std::move(g_seedbuf_pool.back());
+    g_seedbuf_pool.pop_back();
+    b.clear();
+    return b;
+  }
+  return {};
+}
+
+static inline void recycle_cands(std::vector<Cand>& v) {
+  for (auto& c : v)
+    if (c.seeds.capacity()) g_seedbuf_pool.push_back(std::move(c.seeds));
+  v.clear();
+}
+
 static void gen_candidates_illumina(const Ctx& c, int rlen, std::vector<Seed>& seeds,
                                     std::vector<Cand>& out) {
   int thr = (int)(rlen * 0.2);
@@ -600,6 +620,7 @@ static void gen_candidates_illumina(const Ctx& c, int rlen, std::vector<Seed>& s
       out.emplace_back();
       Cand& cand = out.back();
       cand.score = score;
+      cand.seeds = take_seedbuf();
       cand.seeds.assign(seeds.begin() + i, seeds.begin() + k);
       if (score - 50 > thr) thr = score - 50;
       cand.posdiff = cand.seeds[0].posdiff;
@@ -625,7 +646,8 @@ static void gen_candidates_pacbio(int rlen, std::vector<Seed>& seeds,
     if (taken[i]) continue;
     int score = seeds[i].rlen;
     taken[i] = 1;
-    std::vector<Seed> sel{seeds[i]};
+    std::vector<Seed> sel = take_seedbuf();
+    sel.push_back(seeds[i]);
     int j = i;
     for (int k = i + 1; k < num; k++) {
       if (taken[k]) continue;
@@ -2092,8 +2114,8 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
       collect_seeds(ctx, in, j, seed_base[j], seeds2);
     }
     if (prof) t1 = now_ns();
-    cands1.clear();
-    cands2.clear();
+    recycle_cands(cands1);
+    recycle_cands(cands2);
     gen_candidates_illumina(ctx, st1.rlen, seeds1, cands1);
     gen_candidates_illumina(ctx, st2.rlen, seeds2, cands2);
     if (prof) t2 = now_ns();
@@ -2140,7 +2162,7 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
       raw_to_sorted_seeds(false, raw[i - lo], seeds);
     else
       collect_seeds(ctx, in, i, seed_base[i], seeds);
-    cands.clear();
+    recycle_cands(cands);
     if (ctx.pacbio) {
       gen_candidates_pacbio(st.rlen, seeds, cands);
       remove_redundant(cands, true);
