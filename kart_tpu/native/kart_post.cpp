@@ -2074,7 +2074,8 @@ static bool preseed_range(const Ctx& ctx, const ChunkIn& in, int lo, int hi,
   const uint8_t* base = in.seq_concat + in.seq_off[lo];
   for (int64_t i = 0; i < total; i++) arena[i] = (int8_t)NT4[base[i]];
   for (int i = 0; i <= n; i++) offs[i] = in.seq_off[lo + i] - in.seq_off[lo];
-  raw.assign(n, {});
+  if ((int)raw.size() < n) raw.resize(n);
+  for (int i = 0; i < n; i++) raw[i].clear();
   seed_reads_direct_batch(ctx, arena.data(), offs.data(), n, raw);
   return true;
 }
@@ -2095,7 +2096,7 @@ static void process_pair_range(const Ctx& ctx, const ChunkIn& in,
   bool prof = prof_on();
   int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0, t4 = 0, t5 = 0;
   out.reserve((size_t)(hi - lo) * 200);
-  std::vector<std::vector<RawSeed>> raw;
+  thread_local std::vector<std::vector<RawSeed>> raw;
   int64_t tp = prof ? now_ns() : 0;
   bool pre = preseed_range(ctx, in, lo, hi, raw);
   if (prof && pre) {
@@ -2153,7 +2154,7 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
   for (int i = lo; i < hi; i++) make_read_state(in, i, states[i - lo]);
   std::vector<Seed> seeds;
   out.reserve((size_t)(hi - lo) * 200);
-  std::vector<std::vector<RawSeed>> raw;
+  thread_local std::vector<std::vector<RawSeed>> raw;
   std::vector<Cand> cands;
   bool pre = preseed_range(ctx, in, lo, hi, raw);
   for (int i = lo; i < hi; i++) {
