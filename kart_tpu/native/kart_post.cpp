@@ -2234,6 +2234,55 @@ struct GzLineReader {
     pushback = line;
     pending = true;
   }
+
+  // Zero-copy line: returns a pointer to the line INCLUDING its '\n'
+  // (valid only until the next getline/getline_ptr call); falls back to
+  // assembling into `scratch` when the line spans a refill boundary.
+  // len == 0 at EOF (matching getline()).
+  const char* getline_ptr(int64_t& len, std::string& scratch) {
+    if (pending) {
+      scratch = pushback;
+      pending = false;
+      len = (int64_t)scratch.size();
+      return scratch.data();
+    }
+    if (pos == avail) {
+      int n = gzread(f, buf.data(), (unsigned)buf.size());
+      if (n <= 0) {
+        len = 0;
+        return scratch.data();
+      }
+      pos = 0;
+      avail = (size_t)n;
+    }
+    char* start = buf.data() + pos;
+    char* nl = (char*)memchr(start, '\n', avail - pos);
+    if (nl) {
+      len = nl - start + 1;
+      pos += (size_t)len;
+      return start;
+    }
+    // spans the buffer boundary: assemble (rare with a 1MB buffer)
+    scratch.assign(start, avail - pos);
+    pos = avail;
+    while (true) {
+      int n = gzread(f, buf.data(), (unsigned)buf.size());
+      if (n <= 0) break;
+      pos = 0;
+      avail = (size_t)n;
+      char* s2 = buf.data();
+      char* nl2 = (char*)memchr(s2, '\n', avail);
+      if (nl2) {
+        scratch.append(s2, nl2 - s2 + 1);
+        pos = (size_t)(nl2 - s2) + 1;
+        break;
+      }
+      scratch.append(s2, avail);
+      pos = avail;
+    }
+    len = (int64_t)scratch.size();
+    return scratch.data();
+  }
 };
 
 struct ChunkBufs {
@@ -2273,32 +2322,38 @@ struct NativeReader {
   // Parse one entry (GetNextEntry, GetData.cpp:51-107).  Appends to b and
   // returns rlen; 0 = EOF / empty read (entry not appended).
   int parse_entry(GzLineReader& rd, ChunkBufs& b) {
-    int64_t len = rd.getline(line);
+    int64_t len;
+    const char* hline = rd.getline_ptr(len, line);
     if (len <= 0) return 0;
     // IdentifyHeaderBegPos / IdentifyHeaderEndPos on the line including
     // its '\n' (defaults len-1, i.e. the newline position)
     int64_t p1 = len - 1, p2 = len - 1;
     for (int64_t i = 1; i < len; i++)
-      if (line[i] != '>' && line[i] != '@') {
+      if (hline[i] != '>' && hline[i] != '@') {
         p1 = i;
         break;
       }
     for (int64_t i = 1; i < len; i++)
-      if (line[i] == ' ' || line[i] == '/' || line[i] == '\t') {
+      if (hline[i] == ' ' || hline[i] == '/' || hline[i] == '\t') {
         p2 = i;
         break;
       }
+    // copy the header before the next line read invalidates hline
+    b.headers.append(hline + p1, p2 - p1);
     int rlen = 0;
     if (fastq) {
-      int64_t slen = rd.getline(seqline);
-      if (slen <= 0) return 0;
+      int64_t slen;
+      const char* sline = rd.getline_ptr(slen, seqline);
+      if (slen <= 0) { b.headers.resize(b.header_off.back()); return 0; }
       rlen = (int)(slen - 1);  // reference: rlen = getline len - 1
-      if (rlen <= 0) return 0;
-      rd.getline(qline);  // '+' separator
-      rd.getline(qline);  // quality
-      b.seq.insert(b.seq.end(), seqline.begin(), seqline.begin() + rlen);
-      int64_t qn = (int64_t)qline.size() < rlen ? (int64_t)qline.size() : rlen;
-      b.qual.insert(b.qual.end(), qline.begin(), qline.begin() + qn);
+      if (rlen <= 0) { b.headers.resize(b.header_off.back()); return 0; }
+      b.seq.insert(b.seq.end(), sline, sline + rlen);
+      int64_t plen;
+      rd.getline_ptr(plen, qline);  // '+' separator
+      int64_t qlen;
+      const char* qln = rd.getline_ptr(qlen, qline);
+      int64_t qn = qlen < rlen ? qlen : rlen;
+      b.qual.insert(b.qual.end(), qln, qln + qn);
     } else {
       fa_seq.clear();
       while (true) {
@@ -2311,10 +2366,12 @@ struct NativeReader {
         fa_seq.append(seqline.data(), l2 - 1);  // drop trailing '\n'
       }
       rlen = (int)fa_seq.size();
-      if (rlen == 0) return 0;
+      if (rlen == 0) {
+        b.headers.resize(b.header_off.back());
+        return 0;
+      }
       b.seq.insert(b.seq.end(), fa_seq.begin(), fa_seq.end());
     }
-    b.headers.append(line.data() + p1, p2 - p1);
     b.header_off.push_back((int64_t)b.headers.size());
     b.seq_off.push_back((int64_t)b.seq.size());
     b.qual_off.push_back((int64_t)b.qual.size());
