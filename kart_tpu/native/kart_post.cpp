@@ -2187,20 +2187,45 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
 
 struct GzLineReader {
   gzFile f = nullptr;
+  FILE* plain = nullptr;  // fast path: uncompressed files skip zlib's copy
   std::vector<char> buf;
   size_t pos = 0, avail = 0;
   bool pending = false;  // FASTA '>' pushback
   std::string pushback;
 
   bool open(const char* path) {
-    f = gzopen(path, "rb");
     buf.resize(1 << 20);
-    return f != nullptr;
+    FILE* probe = fopen(path, "rb");
+    if (!probe) return false;
+    unsigned char magic[2];
+    size_t got = fread(magic, 1, 2, probe);
+    if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+      fclose(probe);
+      f = gzopen(path, "rb");
+      return f != nullptr;
+    }
+    rewind(probe);
+    setvbuf(probe, nullptr, _IONBF, 0);  // we buffer ourselves
+    plain = probe;
+    return true;
+  }
+  int refill() {
+    int n = plain ? (int)fread(buf.data(), 1, buf.size(), plain)
+                  : gzread(f, buf.data(), (unsigned)buf.size());
+    if (n > 0) {
+      pos = 0;
+      avail = (size_t)n;
+    }
+    return n;
   }
   void close() {
     if (f) {
       gzclose(f);
       f = nullptr;
+    }
+    if (plain) {
+      fclose(plain);
+      plain = nullptr;
     }
   }
   // One line INCLUDING the trailing '\n' when present (getline semantics,
@@ -2214,10 +2239,7 @@ struct GzLineReader {
     out.clear();
     while (true) {
       if (pos == avail) {
-        int n = gzread(f, buf.data(), (unsigned)buf.size());
-        if (n <= 0) return (int64_t)out.size();
-        pos = 0;
-        avail = (size_t)n;
+        if (refill() <= 0) return (int64_t)out.size();
       }
       char* start = buf.data() + pos;
       char* nl = (char*)memchr(start, '\n', avail - pos);
@@ -2247,13 +2269,10 @@ struct GzLineReader {
       return scratch.data();
     }
     if (pos == avail) {
-      int n = gzread(f, buf.data(), (unsigned)buf.size());
-      if (n <= 0) {
+      if (refill() <= 0) {
         len = 0;
         return scratch.data();
       }
-      pos = 0;
-      avail = (size_t)n;
     }
     char* start = buf.data() + pos;
     char* nl = (char*)memchr(start, '\n', avail - pos);
@@ -2266,10 +2285,7 @@ struct GzLineReader {
     scratch.assign(start, avail - pos);
     pos = avail;
     while (true) {
-      int n = gzread(f, buf.data(), (unsigned)buf.size());
-      if (n <= 0) break;
-      pos = 0;
-      avail = (size_t)n;
+      if (refill() <= 0) break;
       char* s2 = buf.data();
       char* nl2 = (char*)memchr(s2, '\n', avail);
       if (nl2) {
