@@ -1352,6 +1352,7 @@ static bool check_coordinate_validity(const Ctx& ctx, const std::vector<Seed>& s
       break;
     }
   if ((g1 < ctx.genome_size) != (g2 < ctx.genome_size)) return false;
+  if (ctx.n_chrom == 1) return g2 < ctx.two_genome_size;
   int lb1 = chr_lower_bound(ctx, g1), lb2 = chr_lower_bound(ctx, g2);
   int nk = (int)ctx.chr_keys.size();
   if (lb1 >= nk || lb2 >= nk || ctx.chr_vals[lb1] != ctx.chr_vals[lb2]) return false;
@@ -1807,41 +1808,73 @@ static inline void append_int(std::string& out, int64_t v) {
   out.append(p, tmp + 24 - p);
 }
 
+static inline char* write_int(char* p, int64_t v) {
+  char tmp[24];
+  char* q = tmp + 24;
+  bool neg = v < 0;
+  uint64_t u = neg ? (uint64_t)(-(v + 1)) + 1 : (uint64_t)v;
+  do {
+    *--q = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  if (neg) *--q = '-';
+  size_t n = (size_t)(tmp + 24 - q);
+  memcpy(p, q, n);
+  return p + n;
+}
+
 static void append_record(std::string& out, const ReadState& r, const Report& rep,
                           const Ctx& ctx, const char* seq_s, const char* qual_s,
                           bool qual_star, const char* rnext, int64_t pnext,
                           int64_t tlen) {
-  out.append(r.header, r.header_len);
-  out += '\t';
-  append_int(out, rep.sam_flag);
-  out += '\t';
-  out += ctx.chrom_names[rep.coor.chrom_idx];
-  out += '\t';
-  append_int(out, rep.coor.gpos);
-  out += '\t';
-  append_int(out, r.mapq);
-  out += '\t';
-  out += rep.coor.cigar;
-  out += '\t';
-  out += rnext;
-  out += '\t';
-  append_int(out, pnext);
-  out += '\t';
-  append_int(out, tlen);
-  out += '\t';
-  out.append(seq_s, r.rlen);
-  out += '\t';
+  // one resize, raw pointer writes (field count is fixed; 96 covers every
+  // integer, tab and tag literal)
+  const std::string& chrom = ctx.chrom_names[rep.coor.chrom_idx];
+  size_t base = out.size();
+  out.resize(base + (size_t)r.header_len + chrom.size() + rep.coor.cigar.size() +
+             (size_t)r.rlen + (size_t)r.qual_len + 112);
+  char* p = &out[base];
+  memcpy(p, r.header, r.header_len);
+  p += r.header_len;
+  *p++ = '\t';
+  p = write_int(p, rep.sam_flag);
+  *p++ = '\t';
+  memcpy(p, chrom.data(), chrom.size());
+  p += chrom.size();
+  *p++ = '\t';
+  p = write_int(p, rep.coor.gpos);
+  *p++ = '\t';
+  p = write_int(p, r.mapq);
+  *p++ = '\t';
+  memcpy(p, rep.coor.cigar.data(), rep.coor.cigar.size());
+  p += rep.coor.cigar.size();
+  *p++ = '\t';
+  *p++ = rnext[0];
+  *p++ = '\t';
+  p = write_int(p, pnext);
+  *p++ = '\t';
+  p = write_int(p, tlen);
+  *p++ = '\t';
+  memcpy(p, seq_s, r.rlen);
+  p += r.rlen;
+  *p++ = '\t';
   if (qual_star)
-    out += '*';
-  else
-    out.append(qual_s, r.qual_len);
-  out += "\tNM:i:";
-  append_int(out, r.rlen - r.score);
-  out += "\tAS:i:";
-  append_int(out, r.score);
-  out += "\tXS:i:";
-  append_int(out, r.sub_score);
-  out += '\n';
+    *p++ = '*';
+  else {
+    memcpy(p, qual_s, r.qual_len);
+    p += r.qual_len;
+  }
+  memcpy(p, "\tNM:i:", 6);
+  p += 6;
+  p = write_int(p, r.rlen - r.score);
+  memcpy(p, "\tAS:i:", 6);
+  p += 6;
+  p = write_int(p, r.score);
+  memcpy(p, "\tXS:i:", 6);
+  p += 6;
+  p = write_int(p, r.sub_score);
+  *p++ = '\n';
+  out.resize((size_t)(p - out.data()));
 }
 
 static void append_unmapped(std::string& out, const ReadState& r) {
