@@ -1878,17 +1878,26 @@ static void append_record(std::string& out, const ReadState& r, const Report& re
 }
 
 static void append_unmapped(std::string& out, const ReadState& r) {
-  char buf[64];
-  out.append(r.header, r.header_len);
-  snprintf(buf, sizeof(buf), "\t%d\t*\t0\t0\t*\t*\t0\t0\t", r.reports[0].sam_flag);
-  out += buf;
-  out.append((const char*)r.seq, r.rlen);
-  out += '\t';
-  if (r.qual)
-    out.append((const char*)r.qual, r.qual_len);
-  else
-    out += '*';
-  out += "\tAS:i:0\tXS:i:0\n";
+  size_t base = out.size();
+  out.resize(base + (size_t)r.header_len + (size_t)r.rlen + (size_t)r.qual_len + 64);
+  char* p = &out[base];
+  memcpy(p, r.header, r.header_len);
+  p += r.header_len;
+  *p++ = '\t';
+  p = write_int(p, r.reports[0].sam_flag);
+  memcpy(p, "\t*\t0\t0\t*\t*\t0\t0\t", 15);
+  p += 15;
+  memcpy(p, r.seq, r.rlen);
+  p += r.rlen;
+  *p++ = '\t';
+  if (r.qual) {
+    memcpy(p, r.qual, r.qual_len);
+    p += r.qual_len;
+  } else
+    *p++ = '*';
+  memcpy(p, "\tAS:i:0\tXS:i:0\n", 15);
+  p += 15;
+  out.resize((size_t)(p - out.data()));
 }
 
 static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st,
