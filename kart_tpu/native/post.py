@@ -163,10 +163,10 @@ class NativePostProcessor:
         if self.lib is None:
             raise RuntimeError("native postprocess library unavailable")
         if n_threads <= 0:
-            # cores + 1: with work-stealing blocks the extra context fills
-            # the gaps the reader/prefetch thread leaves (measured best on
-            # 2-vCPU hosts)
-            n_threads = (os.cpu_count() or 1) + 1
+            # 2x oversubscription: with work-stealing blocks the extra
+            # contexts fill reader-thread gaps and scheduler stalls
+            # (measured best on 2-vCPU hosts)
+            n_threads = 2 * (os.cpu_count() or 1)
         # keep referenced arrays alive for the context lifetime
         self._ref_seq = np.ascontiguousarray(gidx.ref_seq)
         names = [n.encode() for n in gidx.raw.chrom_names]
