@@ -24,7 +24,7 @@ BASELINE_REF_READS_PER_SEC = 120544.0  # 16-thread CPU kart on this host
 GENOME_LEN = 4_639_680
 N_PAIRS = 100_000
 READ_LEN = 150
-N_PASSES = 4  # report best-of (the host vCPUs are noisy/shared)
+N_PASSES = 6  # report best-of (the host vCPUs are noisy/shared)
 
 
 def ensure_assets():
