@@ -1,7 +1,21 @@
 import os
 
 # Multi-device CPU mesh for sharding tests; must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the harness exports JAX_PLATFORMS=axon, and running
+# the suite over the remote-TPU relay (~25 ms/dispatch) makes it crawl.  The
+# suite is designed for the virtual 8-device CPU mesh; on-chip validation is
+# a separate manual pass (PARITY.md "Hardware validation").
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize imports jax at interpreter boot (before conftest),
+# which latches JAX_PLATFORMS=axon from the harness env — the env write
+# above is then too late.  jax.config.update still works as long as no
+# backend has been initialized, which is the case at collection time.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
