@@ -1,11 +1,15 @@
 import os
+import warnings
 
 # Multi-device CPU mesh for sharding tests; must be set before jax import.
-# Force (not setdefault): the harness exports JAX_PLATFORMS=axon, and running
-# the suite over the remote-TPU relay (~25 ms/dispatch) makes it crawl.  The
-# suite is designed for the virtual 8-device CPU mesh; on-chip validation is
-# a separate manual pass (PARITY.md "Hardware validation").
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The harness exports JAX_PLATFORMS=axon, and running the suite over the
+# remote-TPU relay (~25 ms/dispatch) makes it crawl, so the relay platform is
+# redirected to the virtual 8-device CPU mesh; on-chip validation is a
+# separate manual pass (PARITY.md "Hardware validation").  An explicitly
+# requested platform is honored: KART_TEST_PLATFORM=tpu (or any value) keeps
+# the suite on that platform.
+_TEST_PLATFORM = os.environ.get("KART_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _TEST_PLATFORM
 # The axon sitecustomize imports jax at interpreter boot (before conftest),
 # which latches JAX_PLATFORMS=axon from the harness env — the env write
 # above is then too late.  jax.config.update still works as long as no
@@ -13,12 +17,30 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 try:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+    jax.config.update("jax_platforms", _TEST_PLATFORM)
+except Exception as e:  # pragma: no cover - only when a backend pre-initialized
+    warnings.warn(f"could not repoint jax platform to {_TEST_PLATFORM!r}: {e}")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    """Fail loudly if the platform override did not take (ADVICE r2)."""
+    if _TEST_PLATFORM != "cpu":
+        return  # deliberate non-cpu run: whatever jax picks is intended
+    import jax
+
+    if jax.default_backend() != "cpu":
+        warnings.warn(
+            f"jax backend is {jax.default_backend()!r}, not 'cpu': the suite "
+            "will run over the device relay (slow) with the wrong topology"
+        )
+    elif len(jax.devices()) != 8:
+        warnings.warn(
+            f"expected 8 virtual CPU devices, got {len(jax.devices())}: "
+            "sharding tests may fail (XLA_FLAGS set too late?)"
+        )
 
 import subprocess
 from pathlib import Path
