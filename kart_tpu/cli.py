@@ -171,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         use_device=use_device,
         backend=backend,
         n_threads=threads,
+        debug=debug,
     )
 
     if out_format == 0:

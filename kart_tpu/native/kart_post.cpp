@@ -526,6 +526,11 @@ static inline int chr_lower_bound(const Ctx& c, int64_t g) {
                c.chr_keys.begin());
 }
 
+// -d debug mode (reference: bDebugMode, active printfs only).  Process-wide
+// like the reference's global; -d also forces one thread so there is no
+// interleaving concern.
+static bool g_debug = false;
+
 
 // ---------------------------------------------------------------------------
 // Core structs (mirror pipeline/candidates.py)
@@ -573,6 +578,52 @@ struct ReadState {
 };
 
 using Cigar = std::vector<std::pair<int, char>>;
+
+// ---------------------------------------------------------------------------
+// -d verbose dumps (reference: tools.cpp:106-140 ShowSeedInfo /
+// ShowSeedLocationInfo / ShowAlignmentCandidateInfo; byte-identical formats)
+// ---------------------------------------------------------------------------
+
+static void show_seed_info(const std::vector<Seed>& v) {
+  for (size_t k = 0; k < v.size(); k++) {
+    const Seed& s = v[k];
+    if (s.rlen > 0 || s.glen > 0)
+      printf("\t\tseed#%d: R[%d-%d]=%d G[%lld-%lld]=%d Diff=%lld %s\n",
+             (int)(k + 1), s.rpos, s.rpos + s.rlen - 1, s.rlen, (long long)s.gpos,
+             (long long)(s.gpos + s.glen - 1), s.glen, (long long)s.posdiff,
+             (s.simple ? "Simple" : "Normal"));
+  }
+  printf("\n\n");
+  fflush(stdout);
+}
+
+static void show_seed_location_info(const Ctx& c, int64_t pos) {
+  int lb = chr_lower_bound(c, pos);
+  int chr = lb < (int)c.chr_vals.size() ? (int)c.chr_vals[lb] : 0;
+  int64_t gpos;
+  if (pos < c.genome_size)
+    gpos = pos - c.fwd_loc[chr];
+  else
+    gpos = (lb < (int)c.chr_keys.size() ? c.chr_keys[lb] : 0) - pos;
+  printf("\t\tChr [%s, %lld]\n", c.chrom_names[chr].c_str(), (long long)gpos);
+}
+
+static void show_alignment_candidate_info(const Ctx& c, bool first,
+                                          const char* header, int header_len,
+                                          const std::vector<Cand>& cands) {
+  std::string line(100, '-');
+  printf("\n%s\n", line.c_str());
+  printf("Alignment Candidate for read_%d: %.*s\n", first ? 1 : 2, header_len,
+         header);
+  for (size_t i = 0; i < cands.size(); i++) {
+    if (cands[i].score == 0) continue;
+    printf("\tcandidate#%d: Score=%d\n", (int)(i + 1), cands[i].score);
+    show_seed_location_info(c, cands[i].posdiff);
+    show_seed_info(cands[i].seeds);
+  }
+  printf("%s\n\n", line.c_str());
+  fflush(stdout);
+}
 
 // ---------------------------------------------------------------------------
 // Candidate generation (pipeline/candidates.py)
@@ -829,6 +880,14 @@ static void check_overlapping_seeds(std::vector<Seed>& v) {
 }
 
 static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) {
+  // The reference's tail filler never assigns SeedPair.PosDiff
+  // (AlignmentCandidates.cpp:479-487), so it reuses the local's last value:
+  // the head filler's or the last gap filler's PosDiff written earlier in
+  // the SAME call, or stack garbage when no filler preceded.  Replicate the
+  // deterministic carry; INT64_MIN stands in for the garbage case (the value
+  // is dead downstream — only -d ShowSeedInfo prints it, and the golden
+  // debug test masks the garbage case).
+  int64_t pd_carry = INT64_MIN;
   if (seeds.size() > 1) {
     remove_tandem_repeats(seeds);
     remove_translocated(seeds);
@@ -846,6 +905,7 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
         int32_t rp = seeds[i].rpos + seeds[i].rlen;
         int64_t gp = seeds[i].gpos + seeds[i].glen;
         added.push_back({false, rp, gp, r_gaps, (int32_t)g_gaps, gp - rp});
+        pd_carry = gp - rp;
       }
     }
     if (!added.empty()) {
@@ -864,6 +924,7 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
       int64_t gp = s0.gpos - g_gaps;
       if (gp < 0) gp = 0;  // gGaps unchanged (reference no-op, see python spec)
       seeds.insert(seeds.begin(), {false, 0, gp, r_gaps, (int32_t)g_gaps, gp});
+      pd_carry = gp;
     }
     const Seed& sl = seeds.back();
     r_gaps = rlen - (sl.rpos + sl.rlen);
@@ -871,7 +932,7 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
     if (r_gaps > 0 || g_gaps2 > 0) {
       int32_t rp = sl.rpos + sl.rlen;
       int64_t gp = sl.gpos + sl.glen;
-      seeds.push_back({false, rp, gp, r_gaps, (int32_t)g_gaps2, gp - rp});
+      seeds.push_back({false, rp, gp, r_gaps, (int32_t)g_gaps2, pd_carry});
     }
   }
 }
@@ -1135,6 +1196,10 @@ static void normal_pair_alignment(const Ctx& c, int rlen, std::string& frag1, in
     if (!parts.empty()) identify_normal_pairs(rlen, glen, parts);
     if (!parts.empty()) {
       run_nw = false;
+      if (g_debug) {  // tools.cpp:164
+        printf("NormalPair Partition1: len1=%d len2=%d\n", rlen, glen);
+        show_seed_info(parts);
+      }
       std::string a1, a2;
       for (auto& p : parts) {
         if (p.rlen == 0 && p.glen == 0) continue;
@@ -1180,13 +1245,23 @@ static int process_normal(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cig
                              (const char*)c.ref_seq + sp.gpos, sp.rlen);
     if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
       cigar.push_back({sp.rlen, 'M'});
+      if (g_debug)  // tools.cpp:250 (shortcut branch prints raw fragments)
+        printf("NormalPair:\n%.*s #read[%d-%d]=%d\n%.*s #chr[%lld-%lld]=%d\nScore=%d\n\n",
+               sp.rlen, (const char*)seq + sp.rpos, sp.rpos, sp.rpos + sp.rlen - 1,
+               sp.rlen, sp.glen, (const char*)c.ref_seq + sp.gpos, (long long)sp.gpos,
+               (long long)(sp.gpos + sp.glen - 1), sp.glen, sp.rlen - n);
       return sp.rlen - n;
     }
   }
   std::string f1((const char*)seq + sp.rpos, sp.rlen);
   std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
   normal_pair_alignment(c, sp.rlen, f1, sp.glen, f2);
-  return add_new_cigar_elements(f1, f2, cigar);
+  int score = add_new_cigar_elements(f1, f2, cigar);
+  if (g_debug)  // tools.cpp:250
+    printf("NormalPair:\n%s #read[%d-%d]=%d\n%s #chr[%lld-%lld]=%d\nScore=%d\n\n",
+           f1.c_str(), sp.rpos, sp.rpos + sp.rlen - 1, sp.rlen, f2.c_str(),
+           (long long)sp.gpos, (long long)(sp.gpos + sp.glen - 1), sp.glen, score);
+  return score;
 }
 
 static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
@@ -1226,7 +1301,12 @@ static int process_head(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar
     sp.rlen -= (int32_t)p;
     cigar.push_back({(int)p, 'S'});
   }
-  return add_new_cigar_elements(f1, f2, cigar);
+  int score = add_new_cigar_elements(f1, f2, cigar);
+  if (g_debug)  // tools.cpp:338
+    printf("Head2:\n%s #read[%d-%d]=%d\n%s #chr[%lld-%lld]=%d\nScore=%d\n\n",
+           f1.c_str(), sp.rpos, sp.rpos + sp.rlen - 1, sp.rlen, f2.c_str(),
+           (long long)sp.gpos, (long long)(sp.gpos + sp.glen - 1), sp.glen, score);
+  return score;
 }
 
 static int process_tail(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cigar) {
@@ -1306,6 +1386,7 @@ static std::string generate_cigar_str(const Cigar& vec, bool reversed) {
       c += e.first;
   }
   if (c > 0) append_uint_c(out, (uint32_t)c, state);
+  if (g_debug) printf("CIGAR=%s\n\n\n", out.c_str());  // AlignmentCandidates.cpp:510
   return out;
 }
 
@@ -1381,6 +1462,11 @@ static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
         continue;
       }
       identify_normal_pairs(read.rlen, -1, cands[i].seeds);
+      if (g_debug) {  // AlignmentCandidates.cpp:649-653
+        printf("Process candidate#%d (Score = %d, SegmentPair#=%d): \n", i + 1,
+               cands[i].score, (int)cands[i].seeds.size());
+        show_seed_info(cands[i].seeds);
+      }
       if (!check_coordinate_validity(ctx, cands[i].seeds)) continue;
       thread_local Cigar cigar;
       cigar.clear();
@@ -1508,6 +1594,14 @@ static void remove_unmated(std::vector<Cand>& v1, std::vector<Cand>& v2) {
   }
   for (auto& c2 : v2)
     if (c2.paired_idx == -1) c2.score = 0;
+  if (g_debug) {  // Mapping.cpp:419-426
+    for (size_t i = 0; i < v1.size(); i++) {
+      int j = v1[i].paired_idx;
+      if (j != -1)
+        printf("#%d(s=%d) and #%d(s=%d) are pairing\n", (int)(i + 1), v1[i].score,
+               j + 1, v2[j].score);
+    }
+  }
 }
 
 static void check_paired_final(const Ctx& ctx, ReadState& r1, ReadState& r2) {
@@ -1590,6 +1684,11 @@ static Cand identify_rescue_candidate(const Ctx& ctx, int64_t gpos,
     return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
   });
   for (auto& sp : cand.seeds) sp.posdiff += gpos;
+  if (g_debug && cand.score > 0) {  // AlignmentRescue.cpp:64-69
+    printf("\n\nCandidate score = %d\n", cand.score);
+    show_seed_location_info(ctx, cand.posdiff);
+    show_seed_info(cand.seeds);
+  }
   return cand;
 }
 
@@ -1608,6 +1707,12 @@ static bool rescue_unpaired(const Ctx& ctx, int64_t est, ReadState& r1, ReadStat
   else
     strategy = 3;
   if (est > ctx.max_insert_size) est = ctx.max_insert_size;
+  if (g_debug) {  // AlignmentRescue.cpp:96 (incl. the "EsitDistance" typo)
+    printf("\n\nStart FixUnpairedAlignment with strategy %d (%d vs %d) and "
+           "EsitDistance=%d\n\n",
+           strategy, score1, score2, (int)est);
+    fflush(stdout);
+  }
   bool mated = false;
   int num1 = (int)v1.size(), num2 = (int)v2.size();
 
@@ -1632,6 +1737,13 @@ static bool rescue_unpaired(const Ctx& ctx, int64_t est, ReadState& r1, ReadStat
         right = rev - 1;
       int64_t slen = right - left;
       if (slen < r2.rlen) continue;
+      if (g_debug) {  // AlignmentRescue.cpp:118
+        printf("\n\nAnchor1-Candidate#%d (Score=%d) pos=%lld, Search region = "
+               "[%lld - %lld], len = %d\n\n",
+               i + 1, v1[i].score, (long long)v1[i].posdiff, (long long)left,
+               (long long)right, (int)slen);
+        fflush(stdout);
+      }
       create_kmer_vec((const char*)ctx.ref_seq + left, (int)slen, kvec2);
       identify_common_kmers((int)slen, kvec1, kvec2, pairs);
       simple_pairs_from_common_kmers(10, pairs, simple);
@@ -1667,6 +1779,17 @@ static bool rescue_unpaired(const Ctx& ctx, int64_t est, ReadState& r1, ReadStat
         left = rev - cl + 1;
       int64_t slen = right - left;
       if (slen < r1.rlen) continue;
+      if (g_debug) {
+        // AlignmentRescue.cpp:153 indexes AlignmentVec2[i] where i counts v1
+        // candidates (a reference bug — out-of-bounds when i >= |v2|); print
+        // the same in-bounds values, zeros when the reference would read OOB
+        // (the golden debug test filters Anchor2 lines for this reason).
+        int s = i < (int)v2.size() ? v2[i].score : 0;
+        long long pd = i < (int)v2.size() ? (long long)v2[i].posdiff : 0;
+        printf("\n\nAnchor2-Candidate#%d (Score=%d) pos=%lld, Search region = "
+               "[%lld - %lld], len = %d\n\n",
+               i + 1, s, pd, (long long)left, (long long)right, (int)slen);
+      }
       create_kmer_vec((const char*)ctx.ref_seq + left, (int)slen, kvec2);
       identify_common_kmers((int)slen, kvec1, kvec2, pairs);
       simple_pairs_from_common_kmers(10, pairs, simple);
@@ -2201,6 +2324,14 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
   bool pre = preseed_range(ctx, in, lo, hi, raw);
   for (int i = lo; i < hi; i++) {
     ReadState& st = states[i - lo];
+    if (g_debug) {  // Mapping.cpp:517 / :584
+      if (ctx.pacbio)
+        printf("\n\n\nMapping pacbio read#%d %.*s (len=%d):\n", i + 1,
+               st.header_len, st.header, st.rlen);
+      else
+        printf("Mapping single read#%d %.*s (len=%d):\n", i + 1, st.header_len,
+               st.header, st.rlen);
+    }
     if (pre)
       raw_to_sorted_seeds(false, raw[i - lo], seeds);
     else
@@ -2213,9 +2344,14 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
       gen_candidates_illumina(ctx, st.rlen, seeds, cands);
       remove_redundant(cands, false);
     }
+    if (g_debug)  // Mapping.cpp:524 / :589
+      show_alignment_candidate_info(ctx, true, st.header, st.header_len, cands);
     gen_mapping_report(ctx, true, st, cands);
     set_single_flag(st);
     evaluate_mapq(ctx, st);
+    if (g_debug && !ctx.pacbio)  // Mapping.cpp:594
+      printf("\nEnd of mapping for read#%.*s\n%s\n", st.header_len, st.header,
+             std::string(100, '=').c_str());
     output_single(ctx, st, in.fastq, ost, out);
   }
 }
@@ -2508,6 +2644,10 @@ void* kart_ctx_create(const uint8_t* ref_seq, int64_t two_genome_size,
   c->n_threads = n_threads > 0 ? n_threads : 1;
   return c;
 }
+
+// -d verbose dumps; process-wide like the reference's bDebugMode global
+// (main.cpp:164).  -d also forces one mapping thread.
+void kart_set_debug(int32_t on) { g_debug = on != 0; }
 
 void kart_ctx_destroy(void* ctx) {
   if (prof_on()) prof_dump();

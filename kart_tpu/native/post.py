@@ -51,6 +51,8 @@ def load_postlib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     lib.kart_ctx_destroy.argtypes = [ctypes.c_void_p]
+    lib.kart_set_debug.restype = None
+    lib.kart_set_debug.argtypes = [ctypes.c_int32]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.kart_ctx_set_seed_tables.restype = None
     lib.kart_ctx_set_seed_tables.argtypes = [
@@ -158,10 +160,12 @@ class NativePostProcessor:
     """Owns a native context bound to one genome index + mapping options."""
 
     def __init__(self, gidx, pacbio, max_gaps, max_insert_size, min_seed_len,
-                 multi_hit, n_threads=0):
+                 multi_hit, n_threads=0, debug=False):
         self.lib = load_postlib()
         if self.lib is None:
             raise RuntimeError("native postprocess library unavailable")
+        # process-wide, mirroring the reference's bDebugMode global
+        self.lib.kart_set_debug(ctypes.c_int32(1 if debug else 0))
         if n_threads <= 0:
             # 2x oversubscription: with work-stealing blocks the extra
             # contexts fill reader-thread gaps and scheduler stalls

@@ -68,6 +68,7 @@ class KartMapper:
         use_device: bool = True,
         backend: str = "native",
         n_threads: int = 0,
+        debug: bool = False,
     ):
         self.gidx = gidx
         self.pacbio = pacbio
@@ -91,7 +92,7 @@ class KartMapper:
 
                 self.native = NativePostProcessor(
                     gidx, pacbio, max_gaps, max_insert_size, self.min_seed_len,
-                    multi_hit, n_threads=n_threads,
+                    multi_hit, n_threads=n_threads, debug=debug,
                 )
             except Exception:
                 self.native = None
