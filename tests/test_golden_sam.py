@@ -336,6 +336,32 @@ def test_debug_dumps_pacbio(golden):
     assert a == b[: len(a)]
 
 
+def test_bam_record_parity_vs_reference(golden):
+    """-bo BAM output vs the reference's htslib BAM: decode both with the
+    independent parser (tests/test_bam.py) and compare records
+    field-by-field plus the header text.  Reference: Mapping.cpp:610-621."""
+    from test_bam import decode_bam
+
+    ref_bam = golden / "ref_pe.bam"
+    our_bam = golden / "our_pe.bam"
+    subprocess.run(
+        [str(REFBUILD / "bin" / "kart"), "-t", "1", "-i", str(golden / "idx"),
+         "-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq"),
+         "-bo", str(ref_bam)],
+        check=True, capture_output=True,
+    )
+    rc = kart_cli.main(
+        ["kart-tpu", "-i", str(golden / "idx"), "-f", str(golden / "r1.fq"),
+         "-f2", str(golden / "r2.fq"), "-bo", str(our_bam), "-silent"])
+    assert rc == 0
+    ref_header, ref_records = decode_bam(str(ref_bam))
+    our_header, our_records = decode_bam(str(our_bam))
+    assert ref_header == our_header
+    assert len(ref_records) == len(our_records)
+    for got, want in zip(our_records, ref_records):
+        assert got == want, (got, want)
+
+
 def test_multiple_libraries(golden, workdir):
     """Two PE libraries in one invocation (-f a b -f2 c d): mapped
     sequentially with shared insert-size state, like the reference."""
