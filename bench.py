@@ -1,17 +1,27 @@
 """kart-tpu benchmark: Illumina PE mapping throughput on one TPU chip.
 
-Self-bootstrapping: builds a synthetic E. coli-scale index (4,639,680 bp,
-seeded) and a deterministic 20k-pair 150 bp read set with 1% base error +
-indels, maps them end-to-end (device seeding + host pipeline), and prints
-one JSON line.
+Self-bootstrapping: builds a synthetic E. coli-scale genome (4,639,680 bp,
+seeded) with realistic repeat content — rRNA-operon-like 5 kb duplications,
+IS-element-like 1.2 kb families, 40 bp REP motifs and tandem arrays — so the
+seeding path sees real OCC_Thr pressure and the PE path real rescue work
+(VERDICT r2: a uniform-random genome flatters the seeding path).  A
+deterministic 100k-pair 150 bp read set with 1% base error + indels is
+mapped end-to-end and the MEDIAN over N_PASSES runs is reported (the host's
+2 vCPUs are shared/noisy; best-of overstates).
 
 vs_baseline denominator: reference Kart compiled from /root/reference and
-measured on THIS host at -t 16 (saturating its 2 CPUs): 120,544 reads/s
-on the same workload class (2026-08-17, see BASELINE.md targets).
+measured on THIS host at -t 16 (saturating its 2 CPUs) on THIS exact
+repeat-bearing workload: see BASELINE_REF_READS_PER_SEC below and
+BASELINE.md "Measured".
+
+Output: one informational JSON line for the TPU device-pipelined mode
+(when KART_BENCH_DEVICE=1), then the headline JSON line (the driver records
+the last line).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,34 +29,75 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(REPO, "bench_data")
-BASELINE_REF_READS_PER_SEC = 120544.0  # 16-thread CPU kart on this host
+# 16-thread reference kart on this host, repeat-bearing workload (2026-08-20,
+# median of 5 runs; see BASELINE.md)
+BASELINE_REF_READS_PER_SEC = 118022.0
 
 GENOME_LEN = 4_639_680
 N_PAIRS = 100_000
 READ_LEN = 150
-N_PASSES = 6  # report best-of (the host vCPUs are noisy/shared)
+N_PASSES = 5  # report the median
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def make_repeat_genome(rng: np.random.Generator) -> np.ndarray:
+    """Random genome with implanted repeat families (tandem + dispersed)."""
+    seq = rng.choice(_BASES, size=GENOME_LEN)
+
+    def diverge(frag, rate):
+        frag = frag.copy()
+        n = rng.binomial(len(frag), rate)
+        if n:
+            idx = rng.integers(0, len(frag), size=n)
+            frag[idx] = _BASES[rng.integers(0, 4, size=n)]
+        return frag
+
+    def implant(frag):
+        p = int(rng.integers(0, GENOME_LEN - len(frag)))
+        seq[p : p + len(frag)] = frag
+
+    # rRNA-operon-like: 7 near-identical 5 kb copies
+    src = rng.choice(_BASES, size=5000)
+    for _ in range(7):
+        implant(diverge(src, 0.005))
+    # IS-element-like: 5 families x 10 copies of 1.2 kb
+    for _ in range(5):
+        src = rng.choice(_BASES, size=1200)
+        for _ in range(10):
+            implant(diverge(src, 0.015))
+    # REP-motif-like: 500 copies of a 40 bp motif
+    src = rng.choice(_BASES, size=40)
+    for _ in range(500):
+        implant(diverge(src, 0.05))
+    # tandem arrays: 30 loci, unit 20-200 bp x 3-8 copies
+    for _ in range(30):
+        unit = rng.choice(_BASES, size=int(rng.integers(20, 200)))
+        arr = np.concatenate([diverge(unit, 0.01) for _ in range(int(rng.integers(3, 8)))])
+        implant(arr)
+    return seq
 
 
 def ensure_assets():
     os.makedirs(DATA, exist_ok=True)
-    fa = os.path.join(DATA, "bench_genome.fa")
-    prefix = os.path.join(DATA, "bench_idx")
+    fa = os.path.join(DATA, "bench_genome_v2.fa")
+    prefix = os.path.join(DATA, "bench_idx_v2")
     sys.path.insert(0, REPO)
     from kart_tpu.index import build_index, index_files_exist
 
     if not os.path.exists(fa):
         rng = np.random.default_rng(7)
-        seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=GENOME_LEN)
+        seq = make_repeat_genome(rng)
         with open(fa, "wb") as f:
-            f.write(b">bench_ecoli_synthetic\n")
+            f.write(b">bench_ecoli_synthetic_repeats\n")
             s = seq.tobytes()
             for j in range(0, len(s), 70):
                 f.write(s[j : j + 70] + b"\n")
     if not (index_files_exist(prefix) and os.path.exists(prefix + ".saf")):
         build_index(fa, prefix, verbose=False)
 
-    r1 = os.path.join(DATA, "bench_r1.fq")
-    r2 = os.path.join(DATA, "bench_r2.fq")
+    r1 = os.path.join(DATA, "bench_v2_r1.fq")
+    r2 = os.path.join(DATA, "bench_v2_r2.fq")
 
     def n_reads(path):
         if not os.path.exists(path):
@@ -69,7 +120,6 @@ def simulate_reads(fa, out1, out2, err=0.01, indel=0.001):
     comp[np.frombuffer(b"ACGT", np.uint8)] = np.frombuffer(b"TGCA", np.uint8)
     rng = np.random.default_rng(20260817)
     L = len(genome)
-    bases = np.frombuffer(b"ACGT", np.uint8)
     qline = b"I" * READ_LEN
     with open(out1, "wb") as f1, open(out2, "wb") as f2:
         for i in range(N_PAIRS):
@@ -80,19 +130,39 @@ def simulate_reads(fa, out1, out2, err=0.01, indel=0.001):
             nerr = rng.binomial(len(frag), err)
             if nerr:
                 idx = rng.integers(0, len(frag), size=nerr)
-                frag[idx] = bases[rng.integers(0, 4, size=nerr)]
+                frag[idx] = _BASES[rng.integers(0, 4, size=nerr)]
             if rng.random() < indel * insert:
                 q = int(rng.integers(10, len(frag) - 10))
                 if rng.random() < 0.5:
                     frag = np.delete(frag, slice(q, q + int(rng.integers(1, 4))))
                 else:
-                    ins = bases[rng.integers(0, 4, int(rng.integers(1, 4)))]
+                    ins = _BASES[rng.integers(0, 4, int(rng.integers(1, 4)))]
                     frag = np.insert(frag, q, ins)
             fwd = frag[:READ_LEN].tobytes()
             rev = comp[frag[-READ_LEN:][::-1]].tobytes()
             hdr = f"@{i}:Pos={p + 1}\t".encode()
             f1.write(hdr + b"/1\n" + fwd + b"\n+\n" + qline + b"\n")
             f2.write(hdr + b"/2\n" + rev + b"\n+\n" + qline + b"\n")
+
+
+def measure(mapper, r1, r2, passes):
+    """Median reads/s over `passes` full mapping runs."""
+    rates = []
+    for _ in range(passes):
+        total0 = mapper.stats["total"]
+        out_chars = 0
+
+        def writer(s):
+            nonlocal out_chars
+            out_chars += len(s)
+
+        t0 = time.time()
+        mapper.map_stream(r1, r2, True, True, writer)
+        dt = time.time() - t0
+        n_reads = mapper.stats["total"] - total0
+        assert out_chars > 0 and n_reads == 2 * N_PAIRS, (out_chars, n_reads)
+        rates.append(n_reads / dt)
+    return statistics.median(rates), rates
 
 
 def main():
@@ -107,35 +177,36 @@ def main():
     w1 = os.path.join(DATA, "warm_r1.fq")
     w2 = os.path.join(DATA, "warm_r2.fq")
     for src, dst in ((r1, w1), (r2, w2)):
-        if not os.path.exists(dst):
-            with open(src, "rb") as f, open(dst, "wb") as g:
-                for _ in range(2048):  # 512 reads
-                    line = f.readline()
-                    if not line:
-                        break
-                    g.write(line)
+        with open(src, "rb") as f, open(dst, "wb") as g:
+            for _ in range(2048):  # 512 reads
+                line = f.readline()
+                if not line:
+                    break
+                g.write(line)
     mapper.map_stream(w1, w2, True, True, lambda s: None)
 
-    reads_per_sec = 0.0
-    for _ in range(N_PASSES):
-        total0 = mapper.stats["total"]
-        out_chars = 0
+    if os.environ.get("KART_BENCH_DEVICE") == "1":
+        # informational: the TPU device-pipelined mode, honestly reported
+        os.environ["KART_SEED_MODE"] = "device"
+        dev_mapper = KartMapper(gidx)
+        dev_mapper.map_stream(w1, w2, True, True, lambda s: None)
+        dev_median, dev_rates = measure(dev_mapper, r1, r2, 3)
+        print(json.dumps({
+            "metric": "illumina_pe_reads_per_sec_device_pipelined",
+            "value": round(dev_median, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(dev_median / BASELINE_REF_READS_PER_SEC, 4),
+            "note": "TPU-resident seeding pipeline through the axon relay",
+        }))
+        del os.environ["KART_SEED_MODE"]
 
-        def writer(s: str):
-            nonlocal out_chars
-            out_chars += len(s)
-
-        t0 = time.time()
-        mapper.map_stream(r1, r2, True, True, writer)
-        dt = time.time() - t0
-        n_reads = mapper.stats["total"] - total0
-        assert out_chars > 0 and n_reads == 2 * N_PAIRS, (out_chars, n_reads)
-        reads_per_sec = max(reads_per_sec, n_reads / dt)
+    median, rates = measure(mapper, r1, r2, N_PASSES)
     result = {
         "metric": "illumina_pe_reads_per_sec_per_chip",
-        "value": round(reads_per_sec, 1),
+        "value": round(median, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_REF_READS_PER_SEC, 4),
+        "vs_baseline": round(median / BASELINE_REF_READS_PER_SEC, 4),
+        "spread": [round(min(rates), 1), round(max(rates), 1)],
     }
     print(json.dumps(result))
 

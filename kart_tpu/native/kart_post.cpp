@@ -52,6 +52,11 @@ static void hint_hugepages(const void* p, size_t len) {
 // --- stage profiling (KART_PROF=1): ns accumulators dumped at ctx destroy ---
 struct Prof {
   std::atomic<int64_t> seed{0}, cand{0}, pair{0}, report{0}, fmt{0}, reads{0};
+  // report sub-stages (KART_PROF=1): divide filters, conquer DP, cigar/coords
+  std::atomic<int64_t> rep_np{0}, rep_conq{0}, rep_coord{0};
+  // deterministic work counters (robust to wall-clock noise)
+  std::atomic<int64_t> nw_calls{0}, nw_cells{0}, repart_calls{0}, repart_bases{0},
+      shortcut_calls{0};
 };
 static Prof g_prof;
 static bool prof_on() {
@@ -75,6 +80,18 @@ static void prof_dump() {
           (long long)n, (long long)(g_prof.seed / n), (long long)(g_prof.cand / n),
           (long long)(g_prof.pair / n), (long long)(g_prof.report / n),
           (long long)(g_prof.fmt / n));
+  fprintf(stderr,
+          "[kart_prof]   report breakdown: normal_pairs=%lld conquer=%lld "
+          "coord=%lld\n",
+          (long long)(g_prof.rep_np / n), (long long)(g_prof.rep_conq / n),
+          (long long)(g_prof.rep_coord / n));
+  fprintf(stderr,
+          "[kart_prof]   conquer work: nw_calls=%lld nw_cells=%lld "
+          "repart_calls=%lld repart_bases=%lld shortcut_calls=%lld (totals)\n",
+          (long long)g_prof.nw_calls.load(), (long long)g_prof.nw_cells.load(),
+          (long long)g_prof.repart_calls.load(),
+          (long long)g_prof.repart_bases.load(),
+          (long long)g_prof.shortcut_calls.load());
 }
 
 // ---------------------------------------------------------------------------
@@ -184,6 +201,27 @@ static inline bool bitmap_has(const uint32_t* bm, uint32_t idx) {
   return (bm[idx >> 5] >> (idx & 31)) & 1u;
 }
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+// Extract the 13-mer id from 13 unambiguous codes in one shot: two
+// overlapping 8-byte loads, byte-swap so code 0 lands most-significant,
+// PEXT gathers the low 2 bits of every byte.  Returns false when any code
+// is ambiguous (>=4) — caller falls back to the scalar loop for amb_off.
+// Requires pos+13 <= rlen (guaranteed: pos < rlen - min_seed, min_seed>=13).
+static inline bool km13_fast(const int8_t* enc, uint32_t& km) {
+  uint64_t w0, w1;
+  memcpy(&w0, enc, 8);
+  memcpy(&w1, enc + 5, 8);
+  if ((w0 | w1) & 0xFCFCFCFCFCFCFCFCULL) return false;
+  uint64_t p0 = _pext_u64(__builtin_bswap64(w0), 0x0303030303030303ULL);
+  uint64_t p1 = _pext_u64(__builtin_bswap64(w1), 0x0303030303030303ULL);
+  km = (uint32_t)((p0 << 10) | (p1 & 0x3FF));
+  return true;
+}
+#else
+static inline bool km13_fast(const int8_t*, uint32_t&) { return false; }
+#endif
+
 // Capped maximal extension at `pos` with window end `stop` (BWT_Search's
 // [start, stop) semantics): returns length and appends the occurrences of
 // the maximal (possibly window-capped) prefix when it qualifies as a seed.
@@ -197,13 +235,16 @@ static int extend_at(const Ctx& ctx, const int8_t* enc, int rlen, int pos, int s
 
   uint32_t km = 0;
   int amb_off = SEED_K + 1;
-  for (int i = 0; i < SEED_K; i++) {
-    int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
-    if (c > 3) {
-      if (amb_off > SEED_K) amb_off = i;
-      km = km << 2;
-    } else
-      km = (km << 2) | (uint32_t)c;
+  if (pos + SEED_K > rlen || !km13_fast(enc + pos, km)) {
+    km = 0;
+    for (int i = 0; i < SEED_K; i++) {
+      int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
+      if (c > 3) {
+        if (amb_off > SEED_K) amb_off = i;
+        km = km << 2;
+      } else
+        km = (km << 2) | (uint32_t)c;
+    }
   }
   if (stop - pos < SEED_K && amb_off > stop - pos) amb_off = stop - pos;
   if (amb_off > SEED_K && stop - pos >= SEED_K) {
@@ -214,11 +255,17 @@ static int extend_at(const Ctx& ctx, const int8_t* enc, int rlen, int pos, int s
     max_locs.clear();
     int l_cap = stop - pos;
     for (int32_t row = lo; row < hi; row++) {
+      if (row + 8 < hi) {
+        int64_t nloc = st.sa_full[row + 8];
+        if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+      }
       int64_t loc = st.sa_full[row];
       if (loc > last_valid) continue;
       int maxl = l_cap;
       if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-      int l = lcp_bytes(enc + pos, text + loc, maxl);
+      // interval rows share the window's 13-mer prefix; maxl >= SEED_K here
+      int l = SEED_K + lcp_bytes(enc + pos + SEED_K, text + loc + SEED_K,
+                                 maxl - SEED_K);
       if (l > best) {
         best = l;
         max_locs.clear();
@@ -304,13 +351,16 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
     // 13-mer id and first ambiguous offset within the window
     uint32_t km = 0;
     int amb_off = SEED_K + 1;  // > 12: no amb in the sub-13 relevant range
-    for (int i = 0; i < SEED_K; i++) {
-      int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
-      if (c > 3) {
-        if (amb_off > SEED_K) amb_off = i;
-        km = km << 2;
-      } else
-        km = (km << 2) | (uint32_t)c;
+    if (!km13_fast(enc.data() + pos, km)) {
+      km = 0;
+      for (int i = 0; i < SEED_K; i++) {
+        int8_t c = (pos + i < rlen) ? enc[pos + i] : (int8_t)4;
+        if (c > 3) {
+          if (amb_off > SEED_K) amb_off = i;
+          km = km << 2;
+        } else
+          km = (km << 2) | (uint32_t)c;
+      }
     }
     bool valid13 = amb_off > SEED_K;
     if (valid13) {
@@ -319,11 +369,17 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
       int best = -1;
       max_locs.clear();
       for (int32_t row = lo; row < hi; row++) {
+        if (row + 8 < hi) {
+          int64_t nloc = st.sa_full[row + 8];
+          if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+        }
         int64_t loc = st.sa_full[row];
         if (loc > last_valid) continue;  // bogus short-suffix entry
         int maxl = rlen - pos;
         if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-        int l = lcp_bytes(enc.data() + pos, text + loc, maxl);
+        // interval rows share the 13-mer prefix; maxl >= SEED_K here
+        int l = SEED_K + lcp_bytes(enc.data() + pos + SEED_K, text + loc + SEED_K,
+                                   maxl - SEED_K);
         if (l > best) {
           best = l;
           max_locs.clear();
@@ -426,13 +482,16 @@ static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
           }
           uint32_t km = 0;
           int amb_off = SEED_K + 1;
-          for (int i = 0; i < SEED_K; i++) {
-            int8_t c = (m.pos + i < m.rlen) ? m.enc[m.pos + i] : (int8_t)4;
-            if (c > 3) {
-              if (amb_off > SEED_K) amb_off = i;
-              km <<= 2;
-            } else
-              km = (km << 2) | (uint32_t)c;
+          if (!km13_fast(m.enc + m.pos, km)) {
+            km = 0;
+            for (int i = 0; i < SEED_K; i++) {
+              int8_t c = (m.pos + i < m.rlen) ? m.enc[m.pos + i] : (int8_t)4;
+              if (c > 3) {
+                if (amb_off > SEED_K) amb_off = i;
+                km <<= 2;
+              } else
+                km = (km << 2) | (uint32_t)c;
+            }
           }
           m.km = km;
           m.amb_off = amb_off;
@@ -466,7 +525,7 @@ static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
           int pf = cnt < 16 ? cnt : 16;
           for (int r = 0; r < pf; r++) {
             int64_t loc = st.sa_full[m.lo + r];
-            if (loc <= last_valid) __builtin_prefetch(&text[loc], 0, 1);
+            if (loc <= last_valid) __builtin_prefetch(&text[loc + SEED_K], 0, 1);
           }
           m.stage = SeedMachine::EXT;
           break;
@@ -475,11 +534,21 @@ static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
           int best = -1;
           max_locs.clear();
           for (int32_t row = m.lo; row < m.hi; row++) {
+            // repeat-heavy kmers have hundreds of rows: stream-prefetch the
+            // extension point 8 rows ahead (sa_full itself is sequential)
+            if (row + 8 < m.hi) {
+              int64_t nloc = st.sa_full[row + 8];
+              if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+            }
             int64_t loc = st.sa_full[row];
             if (loc > last_valid) continue;
             int maxl = m.rlen - m.pos;
             if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-            int l = lcp_bytes(m.enc + m.pos, text + loc, maxl);
+            // every row in the interval starts with the same 13-mer as the
+            // read window (table construction + amb_off>13), so compare
+            // from offset SEED_K; maxl >= SEED_K always (see last_valid)
+            int l = SEED_K + lcp_bytes(m.enc + m.pos + SEED_K, text + loc + SEED_K,
+                                       maxl - SEED_K);
             if (l > best) {
               best = l;
               max_locs.clear();
@@ -950,7 +1019,27 @@ static inline float fmax2(float x, float y) { return x > y ? x : y; }
 
 static void nw_alignment(std::string& s1, std::string& s2) {
   int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
-  std::vector<float> r((size_t)m * n), t((size_t)m * n), s((size_t)m * n);
+  if (prof_on()) {
+    g_prof.nw_calls++;
+    g_prof.nw_cells += (int64_t)m * n;
+  }
+  if (m == 2 && n == 2) {
+    // single-base fragments (the dominant case: a lone mismatch between two
+    // exact seeds) always backtrace diagonally — S(1,1)=±1.5 strictly beats
+    // both gap matrices (R(1,1)=T(1,1)=-3.0) — so the strings are returned
+    // unchanged; skip the DP entirely (bit-exact with nw_alignment.cpp:18)
+    return;
+  }
+  // DP planes + output builders are per-thread scratch: fragments are ~20 bp
+  // on average and nw runs for every gapped fragment, so per-call heap
+  // traffic dominated the conquer stage
+  thread_local std::vector<float> r, t, s;
+  size_t need = (size_t)m * n;
+  if (r.size() < need) {
+    r.resize(need);
+    t.resize(need);
+    s.resize(need);
+  }
   auto R = [&](int i, int j) -> float& { return r[(size_t)i * n + j]; };
   auto T = [&](int i, int j) -> float& { return t[(size_t)i * n + j]; };
   auto S = [&](int i, int j) -> float& { return s[(size_t)i * n + j]; };
@@ -975,9 +1064,9 @@ static void nw_alignment(std::string& s1, std::string& s2) {
     }
   }
   // backtrace: prefer r, then t (nw_alignment.cpp:61-68)
-  std::string o1, o2;
-  o1.reserve(m + n);
-  o2.reserve(m + n);
+  thread_local std::string o1, o2;
+  o1.clear();
+  o2.clear();
   int i = m - 1, j = n - 1;
   while (i > 0 || j > 0) {
     if (S(i, j) == R(i, j)) {
@@ -995,10 +1084,8 @@ static void nw_alignment(std::string& s1, std::string& s2) {
       j--;
     }
   }
-  std::reverse(o1.begin(), o1.end());
-  std::reverse(o2.begin(), o2.end());
-  s1 = std::move(o1);
-  s2 = std::move(o2);
+  s1.assign(o1.rbegin(), o1.rend());
+  s2.assign(o2.rbegin(), o2.rend());
 }
 
 // ---------------------------------------------------------------------------
@@ -1113,10 +1200,15 @@ static void simple_pairs_from_common_kmers(int min_seed_len,
 static void simple_pairs_from_fragment_pair(int max_dist, const char* f1, int l1,
                                             const char* f2, int l2,
                                             std::vector<Seed>& out) {
-  std::vector<KmerItem> v1, v2;
+  if (prof_on()) {
+    g_prof.repart_calls++;
+    g_prof.repart_bases += l1 + l2;
+  }
+  // per-thread scratch (consumed before any recursive re-entry)
+  thread_local std::vector<KmerItem> v1, v2;
   create_kmer_vec(f1, l1, v1);
   create_kmer_vec(f2, l2, v2);
-  std::vector<KmerPair> pairs;
+  thread_local std::vector<KmerPair> pairs;
   identify_common_kmers(max_dist, v1, v2, pairs);
   simple_pairs_from_common_kmers(8, pairs, out);
   std::sort(out.begin(), out.end(), [](const Seed& a, const Seed& b) {
@@ -1245,6 +1337,7 @@ static int process_normal(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cig
                              (const char*)c.ref_seq + sp.gpos, sp.rlen);
     if (n <= 2 && n <= (int)(sp.rlen * 0.2)) {
       cigar.push_back({sp.rlen, 'M'});
+      if (prof_on()) g_prof.shortcut_calls++;
       if (g_debug)  // tools.cpp:250 (shortcut branch prints raw fragments)
         printf("NormalPair:\n%.*s #read[%d-%d]=%d\n%.*s #chr[%lld-%lld]=%d\nScore=%d\n\n",
                sp.rlen, (const char*)seq + sp.rpos, sp.rpos, sp.rpos + sp.rlen - 1,
@@ -1252,6 +1345,18 @@ static int process_normal(const Ctx& c, const uint8_t* seq, Seed& sp, Cigar& cig
                (long long)(sp.gpos + sp.glen - 1), sp.glen, sp.rlen - n);
       return sp.rlen - n;
     }
+  }
+  if (sp.rlen == 1 && sp.glen == 1) {
+    // lone mismatch between two exact seeds (the dominant normal pair, and
+    // always a mismatch here: a match passed the <=2-mismatch shortcut).
+    // nw_alignment on 1x1 is the identity (diagonal backtrace) and
+    // AddNewCigarElements emits one M scoring 0 — skip the whole chain.
+    cigar.push_back({1, 'M'});
+    if (g_debug)
+      printf("NormalPair:\n%c #read[%d-%d]=1\n%c #chr[%lld-%lld]=1\nScore=0\n\n",
+             seq[sp.rpos], sp.rpos, sp.rpos, c.ref_seq[sp.gpos],
+             (long long)sp.gpos, (long long)sp.gpos);
+    return 0;
   }
   std::string f1((const char*)seq + sp.rpos, sp.rlen);
   std::string f2((const char*)c.ref_seq + sp.gpos, sp.glen);
@@ -1461,7 +1566,14 @@ static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
         read.sub_score = read.score;
         continue;
       }
+      bool prof = prof_on();
+      int64_t tnp = prof ? now_ns() : 0;
       identify_normal_pairs(read.rlen, -1, cands[i].seeds);
+      if (prof) {
+        int64_t t = now_ns();
+        g_prof.rep_np += t - tnp;
+        tnp = t;
+      }
       if (g_debug) {  // AlignmentCandidates.cpp:649-653
         printf("Process candidate#%d (Score = %d, SegmentPair#=%d): \n", i + 1,
                cands[i].score, (int)cands[i].seeds.size());
@@ -1507,6 +1619,11 @@ static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
         } else
           rep.aln_score += process_normal(ctx, read.seq, sp, cigar);
       }
+      if (prof) {
+        int64_t t = now_ns();
+        g_prof.rep_conq += t - tnp;
+        tnp = t;
+      }
       if (!ctx.pacbio && cigar.size() > 1) {
         rep.aln_score -= gap_penalty(cigar);
         if (rep.aln_score <= 0) {
@@ -1522,6 +1639,7 @@ static void gen_mapping_report(const Ctx& ctx, bool first_read, ReadState& read,
                                        cigar);
         if (rep.coor.gpos <= 0) rep.aln_score = 0;
       }
+      if (prof) g_prof.rep_coord += now_ns() - tnp;
       if (rep.aln_score > read.score) {
         read.best_idx = i;
         read.sub_score = read.score;
@@ -2031,23 +2149,22 @@ static void output_single(const Ctx& ctx, ReadState& r, bool fastq, OutStats& st
     return;
   }
   if (r.mapq == MAX_MAPQ) st.unique++;
-  std::string fwd((const char*)r.seq, r.rlen);
-  std::string qual =
-      (fastq && r.qual) ? std::string((const char*)r.qual, r.qual_len) : "*";
+  const char* fwd = (const char*)r.seq;
+  const char* qual = (fastq && r.qual) ? (const char*)r.qual : "*";
   bool ql_star = !(fastq && r.qual);
-  std::string rseq, rqual;
+  thread_local std::string rseq, rqual;
   bool have_rev = false;
   for (int i = r.best_idx; i < r.can_num; i++) {
     Report& rep = r.reports[i];
     if (rep.aln_score == r.score) {
       if (!rep.coor.bdir && !have_rev) {
         revcomp_into(r.seq, r.rlen, rseq);
-        rqual = qual;
+        rqual.assign(qual, ql_star ? 1 : r.qual_len);
         if (fastq) std::reverse(rqual.begin(), rqual.end());
         have_rev = true;
       }
-      const char* sq = rep.coor.bdir ? fwd.c_str() : rseq.c_str();
-      const char* ql = fastq ? (rep.coor.bdir ? qual.c_str() : rqual.c_str()) : "*";
+      const char* sq = rep.coor.bdir ? fwd : rseq.c_str();
+      const char* ql = fastq ? (rep.coor.bdir ? qual : rqual.c_str()) : "*";
       append_record(out, r, rep, ctx, sq, ql, ql_star, "*", 0, 0);
       if (!ctx.multi_hit) break;
     }
@@ -2062,23 +2179,22 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     append_unmapped(out, r1);
   } else {
     if (r1.mapq == MAX_MAPQ) st.unique++;
-    std::string fwd((const char*)r1.seq, r1.rlen);
-    std::string qual =
-        (fastq && r1.qual) ? std::string((const char*)r1.qual, r1.qual_len) : "*";
+    const char* fwd = (const char*)r1.seq;
+    const char* qual = (fastq && r1.qual) ? (const char*)r1.qual : "*";
     bool ql_star = !(fastq && r1.qual);
-    std::string rseq, rqual;
+    thread_local std::string rseq, rqual;
     bool have_rev = false;
     for (int i = r1.best_idx; i < r1.can_num; i++) {
       Report& rep = r1.reports[i];
       if (rep.aln_score > 0) {
         if (!rep.coor.bdir && !have_rev) {
           revcomp_into(r1.seq, r1.rlen, rseq);
-          rqual = qual;
+          rqual.assign(qual, ql_star ? 1 : r1.qual_len);
           if (fastq) std::reverse(rqual.begin(), rqual.end());
           have_rev = true;
         }
-        const char* sq = rep.coor.bdir ? fwd.c_str() : rseq.c_str();
-        const char* ql = fastq ? (rep.coor.bdir ? qual.c_str() : rqual.c_str()) : "*";
+        const char* sq = rep.coor.bdir ? fwd : rseq.c_str();
+        const char* ql = fastq ? (rep.coor.bdir ? qual : rqual.c_str()) : "*";
         int j = rep.paired_idx;
         if (j != -1 && r2.reports[j].aln_score > 0) {
           int64_t dist = r2.reports[j].coor.gpos - rep.coor.gpos +
@@ -2100,23 +2216,22 @@ static void output_paired(const Ctx& ctx, ReadState& r1, ReadState& r2, bool fas
     append_unmapped(out, r2);
   } else {
     if (r2.mapq == MAX_MAPQ) st.unique++;
-    std::string stored((const char*)r2.seq, r2.rlen);
-    std::string qual =
-        (fastq && r2.qual) ? std::string((const char*)r2.qual, r2.qual_len) : "*";
+    const char* stored = (const char*)r2.seq;
+    const char* qual = (fastq && r2.qual) ? (const char*)r2.qual : "*";
     bool ql_star = !(fastq && r2.qual);
-    std::string orig, rqual;
+    thread_local std::string orig, rqual;
     bool have_fwd = false;
     for (int j = r2.best_idx; j < r2.can_num; j++) {
       Report& rep = r2.reports[j];
       if (rep.aln_score > 0) {
         if (rep.coor.bdir && !have_fwd) {
           revcomp_into(r2.seq, r2.rlen, orig);
-          rqual = qual;
+          rqual.assign(qual, ql_star ? 1 : r2.qual_len);
           if (fastq) std::reverse(rqual.begin(), rqual.end());
           have_fwd = true;
         }
-        const char* sq = rep.coor.bdir ? orig.c_str() : stored.c_str();
-        const char* ql = fastq ? (rep.coor.bdir ? rqual.c_str() : qual.c_str()) : "*";
+        const char* sq = rep.coor.bdir ? orig.c_str() : stored;
+        const char* ql = fastq ? (rep.coor.bdir ? rqual.c_str() : qual) : "*";
         int i = rep.paired_idx;
         if (i != -1 && r1.reports[i].aln_score > 0) {
           int64_t dist = -(rep.coor.gpos - r1.reports[i].coor.gpos +
