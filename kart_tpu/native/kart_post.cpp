@@ -978,11 +978,27 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
       }
     }
     if (!added.empty()) {
-      // stable merge by (gpos, rpos): equal keys keep originals first
-      seeds.insert(seeds.end(), added.begin(), added.end());
-      std::stable_sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+      // stable merge by (gpos, rpos), equal keys keep originals first —
+      // the reference's inplace_merge with CompByGenomePos
+      // (AlignmentCandidates.cpp:449).  Both runs are normally already
+      // sorted (candidates are gpos-sorted at clustering, fillers are
+      // emitted left-to-right), so a linear merge into per-thread scratch
+      // replaces stable_sort's per-call temp-buffer allocation.
+      auto cmp = [](const Seed& a, const Seed& b) {
         return a.gpos == b.gpos ? a.rpos < b.rpos : a.gpos < b.gpos;
-      });
+      };
+      if (std::is_sorted(seeds.begin(), seeds.end(), cmp) &&
+          std::is_sorted(added.begin(), added.end(), cmp)) {
+        thread_local std::vector<Seed> merged;
+        merged.clear();
+        merged.reserve(seeds.size() + added.size());
+        std::merge(seeds.begin(), seeds.end(), added.begin(), added.end(),
+                   std::back_inserter(merged), cmp);
+        seeds.swap(merged);
+      } else {
+        seeds.insert(seeds.end(), added.begin(), added.end());
+        std::stable_sort(seeds.begin(), seeds.end(), cmp);
+      }
     }
   }
   if (!seeds.empty()) {

@@ -21,13 +21,38 @@ def _compile_lib() -> str | None:
     out = os.path.join(_BUILD_DIR, "libkartpost.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
-    tmp = tempfile.mktemp(suffix=".so", dir=_BUILD_DIR)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
+    tmp = os.path.join(_BUILD_DIR, "libkartpost.build.so")
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-pthread", src, "-o", tmp, "-lz"]
+    # profile-guided build when the committed profile is present (+~10%
+    # measured on the bench workload; regenerate with -fprofile-generate
+    # and a bench run, then copy the .gcda here).  gcc resolves profiles
+    # per output path (slashes mangled to '#'), so stage the profile under
+    # the name it will look for.
+    pgo = os.path.join(_BUILD_DIR, "kart_post.gcda")
+    if os.path.exists(pgo):
+        import shutil
+
+        pgo_dir = os.path.join(_BUILD_DIR, "_pgo")
+        os.makedirs(pgo_dir, exist_ok=True)
+        mangled = os.path.abspath(tmp).replace(os.sep, "#") + "-kart_post.gcda"
+        shutil.copyfile(pgo, os.path.join(pgo_dir, mangled))
+        cmd[1:1] = [f"-fprofile-use={pgo_dir}", "-fprofile-correction",
+                    "-Wno-missing-profile"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, out)
         return out
     except (subprocess.CalledProcessError, FileNotFoundError):
+        if os.path.exists(pgo):  # stale/incompatible profile: plain build
+            cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                   "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, out)
+                return out
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                return None
         return None
 
 
