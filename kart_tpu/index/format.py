@@ -107,14 +107,21 @@ def unpack_2bit(pac: np.ndarray, n: int) -> np.ndarray:
 
 def pack_words_u32(codes: np.ndarray) -> np.ndarray:
     """Pack 2-bit codes into uint32 words, 16 bases/word, first base in bits
-    30-31 (the layout of bwt words in .bwt)."""
+    30-31 (the layout of bwt words in .bwt).  Chunked so gigabase inputs do
+    not materialize (n, 16) uint32 temporaries."""
     n = len(codes)
     nw = (n + 15) // 16
-    padded = np.zeros(nw * 16, dtype=np.uint32)
-    padded[:n] = codes
-    g = padded.reshape(-1, 16)
+    out = np.empty(nw, dtype=np.uint32)
     shifts = np.arange(30, -2, -2, dtype=np.uint32)
-    return (g << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    CHUNK_W = 1 << 22  # 4M words = 64M codes per pass
+    for w0 in range(0, nw, CHUNK_W):
+        w1 = min(w0 + CHUNK_W, nw)
+        c0, c1 = w0 * 16, min(w1 * 16, n)
+        padded = np.zeros((w1 - w0) * 16, dtype=np.uint32)
+        padded[: c1 - c0] = codes[c0:c1]
+        g = padded.reshape(-1, 16)
+        out[w0:w1] = (g << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def write_pac(prefix: str, codes_fwd: np.ndarray) -> None:
@@ -154,28 +161,34 @@ def interleave_bwt(bwt_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, bytes
     words_pad[:nw] = words
     words_blocks = words_pad.reshape(n_blocks, 8)
 
-    # cumulative counts of each code value at the START of each block
-    onehot = np.zeros((4, seq_len), dtype=np.int64)
-    for c in range(4):
-        onehot[c] = bwt_codes == c
-    csum = np.concatenate(
-        [np.zeros((4, 1), dtype=np.int64), np.cumsum(onehot, axis=1, dtype=np.int64)], axis=1
-    )  # (4, seq_len+1)
-    starts = np.arange(n_blocks) * OCC_INTERVAL
-    occ_cp = csum[:, starts].T.copy()  # (n_blocks, 4)
-    final_cp = csum[:, seq_len].copy()  # (4,)
+    # cumulative counts of each code value at the START of each block.
+    # Blockwise (per-128-base counts then an exclusive cumsum) rather than a
+    # full one-hot cumsum: on a gigabase text the latter would materialize
+    # two (4, seq_len) int64 arrays (~70 GB each).
+    padded_codes = np.full(n_blocks * OCC_INTERVAL, 255, dtype=np.uint8)
+    padded_codes[:seq_len] = bwt_codes
+    blk = padded_codes.reshape(n_blocks, OCC_INTERVAL)
+    per_block = np.stack(
+        [(blk == c).sum(axis=1, dtype=np.int64) for c in range(4)], axis=1
+    )  # (n_blocks, 4)
+    occ_cp = np.zeros((n_blocks, 4), dtype=np.int64)
+    np.cumsum(per_block[:-1], axis=0, out=occ_cp[1:])
+    final_cp = occ_cp[-1] + per_block[-1]  # (4,)
 
     # serialize: per block [4 x u64][up to 8 x u32], plus final checkpoint.
     # The last block carries only ceil(rem/16) words (bwtindex.c:62-71 emits
-    # words only while i < seq_len).
+    # words only while i < seq_len); all earlier blocks are a fixed 64 bytes,
+    # so they serialize as one (n_blocks-1, 64) byte matrix.
+    n_last_words = nw - (n_blocks - 1) * 8
+    full = np.empty((n_blocks - 1, 64), dtype=np.uint8) if n_blocks > 1 else np.empty((0, 64), np.uint8)
+    if n_blocks > 1:
+        full[:, :32] = occ_cp[:-1].astype("<u8").view(np.uint8).reshape(-1, 32)
+        full[:, 32:] = words_blocks[:-1].astype("<u4").view(np.uint8).reshape(-1, 32)
     out = bytearray()
-    occ_u64 = occ_cp.astype("<u8")
-    words_le = words_blocks.astype("<u4")
-    for b in range(n_blocks):
-        out += occ_u64[b].tobytes()
-        n_words = min(8, nw - b * 8)
-        out += words_le[b, :n_words].tobytes()
-    out += final_cp.astype("<u8").tobytes()
+    out += full.tobytes()
+    out += occ_cp[-1].astype("<u8").tobytes()
+    out += words_blocks[-1, :n_last_words].astype("<u4").tobytes()
+    out += np.asarray(final_cp).astype("<u8").tobytes()
     return occ_cp, words_blocks, bytes(out)
 
 

@@ -111,30 +111,43 @@ class GenomeIndex:
 
     # ---- TPU-layout device arrays -----------------------------------------
 
+    @property
+    def index_dtype(self):
+        """int32 for genomes under 2^31 text bases, int64 above (human
+        scale).  The reference index is 64-bit throughout
+        (src/BWT_Index/bwt.h:41 bwtint_t); we pay the wide type only when
+        the genome needs it."""
+        return np.int32 if self.seq_len < 2**31 else np.int64
+
     @cached_property
     def device_arrays(self) -> dict:
         """Arrays shipped to the device for the FM-search kernels.
 
-        occ_cp   (n_blocks, 4) int32   Occ counts at each 128-base checkpoint
+        occ_cp   (n_blocks, 4) i32/i64 Occ counts at each 128-base checkpoint
         bwt_words(n_blocks, 8) uint32  2-bit BWT codes, 16 bases/word
-        sa_samples (n_sa,)     int32   sampled SA (sa[0] == -1)
-        L2       (5,)          int32   cumulative char counts
-        params: primary, seq_len as int32 scalars
-        (int32 is sufficient for genomes up to 2^31 bases of 2x text; the
-        human-scale path will switch these to int64.)
-        """
+        sa_samples (n_sa,)     i32/i64 sampled SA (sa[0] == -1)
+        L2       (5,)          i32/i64 cumulative char counts
+        params: primary, seq_len scalars of the same index dtype
+
+        The index dtype is int32 below 2^31 text bases and int64 at human
+        scale; the i64 path enables jax_enable_x64 so the wide arrays are
+        not silently truncated.  The full SA (17+ GB at human scale) is NOT
+        part of this dict — device users fetch `sa_full` separately when
+        they can afford it (FMIndexArrays.from_genome_index)."""
         r = self.raw
-        if r.seq_len >= 2**31:
-            raise NotImplementedError("genomes >= 2^31 text bases need the i64 path")
+        idt = self.index_dtype
+        if idt is np.int64:
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
         return dict(
-            occ_cp=r.occ_cp.astype(np.int32),
+            occ_cp=r.occ_cp.astype(idt, copy=False),
             bwt_words=r.bwt_words,
-            sa_samples=r.sa_samples.astype(np.int32),
-            L2=r.L2.astype(np.int32),
-            primary=np.int32(r.primary),
-            seq_len=np.int32(r.seq_len),
+            sa_samples=r.sa_samples.astype(idt, copy=False),
+            L2=r.L2.astype(idt, copy=False),
+            primary=idt(r.primary),
+            seq_len=idt(r.seq_len),
             sa_intv=np.int32(r.sa_intv),
-            sa_full=self.sa_full.astype(np.int32),
         )
 
 

@@ -65,8 +65,13 @@ class FMIndexArrays:
         return cls(*children)
 
     @classmethod
-    def from_genome_index(cls, gidx, sharding=None, with_full_sa=True):
+    def from_genome_index(cls, gidx, sharding=None, with_full_sa=None):
+        """with_full_sa=None (auto): ship the full SA only for sub-2^31
+        indexes — at human scale it is 17+ GB and stays host-side (the
+        mapper expands occurrences with a host gather)."""
         d = gidx.device_arrays
+        if with_full_sa is None:
+            with_full_sa = gidx.seq_len < 2**31
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
         return cls(
             occ_cp=put(d["occ_cp"]),
@@ -75,7 +80,9 @@ class FMIndexArrays:
             L2=put(d["L2"]),
             primary=put(d["primary"]),
             seq_len=put(d["seq_len"]),
-            sa_full=put(d["sa_full"]) if with_full_sa else None,
+            sa_full=put(gidx.sa_full.astype(gidx.index_dtype, copy=False))
+            if with_full_sa
+            else None,
         )
 
 
@@ -101,23 +108,25 @@ def occ4_from(words, base, kk):
     """Block-level bwt_occ4: counts of each code in bwt[0..kk] given the
     block's 8 BWT words and its Occ checkpoint `base` (4,).  Shared by the
     replicated path (occ4) and the mesh-sharded path
-    (parallel.sharded_index), which source words/base differently."""
-    jk = (kk & 0x7F) >> 4
+    (parallel.sharded_index), which source words/base differently.
+    Dtype-polymorphic: kk/base may be int32 or (human-scale) int64; the
+    intra-block counts are always int32 and promote into base's type."""
+    jk = ((kk & 0x7F) >> 4).astype(jnp.int32)
     counts = _count4_word(words)  # (4, 8)
     jj = jnp.arange(8, dtype=jnp.int32)
     full = jnp.sum(jnp.where(jj < jk, counts, 0), axis=1)  # (4,)
     shift = ((~kk & 0xF) << 1).astype(jnp.uint32)
     mask = ~((jnp.uint32(1) << shift) - jnp.uint32(1))
     partial = _count4_word(words[jk] & mask)  # (4,)
-    cnt = base + full + partial
-    return cnt - jnp.array([1, 0, 0, 0], jnp.int32) * (~kk & 0xF)
+    cnt = base + (full + partial).astype(base.dtype)
+    return cnt - (jnp.array([1, 0, 0, 0], jnp.int32) * (~kk & 0xF).astype(jnp.int32)).astype(base.dtype)
 
 
 def occ4(fm: FMIndexArrays, k):
     """bwt_occ4(k): counts of each code in bwt[0..k] (k int32 scalar,
     0 <= k <= seq_len; the reference's k==-1 case cannot arise in our call
     sites because x1 >= 1 always)."""
-    kk = k - (k >= fm.primary).astype(jnp.int32)
+    kk = k - (k >= fm.primary).astype(k.dtype)
     blk = kk >> 7
     return occ4_from(fm.bwt_words[blk], fm.occ_cp[blk], kk)
 
@@ -129,8 +138,8 @@ def bwt_char(fm: FMIndexArrays, x):
 
 
 def inv_psi(fm: FMIndexArrays, k):
-    """bwt_invPsi(k) for one row (int32)."""
-    x = k - (k > fm.primary).astype(jnp.int32)
+    """bwt_invPsi(k) for one row (index dtype: int32 or int64)."""
+    x = k - (k > fm.primary).astype(k.dtype)
     c = bwt_char(fm, x)
     occ_kc = occ4(fm, k)[c]
     # occ(k==seq_len, c) special case collapses to the same value (full
@@ -148,14 +157,19 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
     """Core batched FastMode seeding scan, parameterized over the batched
     occ4 lookup (`occ4_b: (B,) int32 rows -> (B, 4) int32 counts`) so the
     same scan runs against a replicated FM-index (seed_scan) or an
-    index sharded across a mesh axis (parallel.sharded_index)."""
+    index sharded across a mesh axis (parallel.sharded_index).
+
+    Row/interval state (x0, x1, x2, k0) carries L2's dtype — int32 for
+    sub-2^31 indexes, int64 at human scale."""
     B = reads.shape[0]
+    idt = L2.dtype
     # extra trailing column of ambiguous codes so the last extension of every
     # read terminates (and emits its seed) inside the fixed-trip loop
     reads = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
 
     def step(p, state):
         active, start, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf = state
+        p = jnp.asarray(p).astype(jnp.int32)  # fori index is int64 under x64
         c = jax.lax.dynamic_index_in_dim(reads, p, axis=1, keepdims=False)  # (B,)
         amb = c > 3
         c_safe = jnp.minimum(c, 3)
@@ -165,7 +179,7 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
         tl = occ4_b(x1 - 1 + x2)
         ok_x1 = L2[None, :4] + 1 + tk
         ok_x2 = tl - tk
-        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
+        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
         s2 = s3 + ok_x2[:, 3]
         s1 = s2 + ok_x2[:, 2]
         s0 = s1 + ok_x2[:, 1]
@@ -193,8 +207,8 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
         # --- state transition ---
         # inactive & !amb & p < rlen - min_seed_len: start a new extension
         can_start = (~active) & (~amb) & (p < rlens - min_seed_len)
-        init_x0 = L2[c_safe] + 1
-        init_x1 = L2[3 - c_safe] + 1
+        init_x0 = L2[c_safe] + idt.type(1)
+        init_x1 = L2[3 - c_safe] + idt.type(1)
         init_x2 = L2[c_safe + 1] - L2[c_safe]
 
         cont = active & ~ext_fail
@@ -209,15 +223,22 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
     # device-varying type under shard_map (a literal zeros() carry is
     # "unvarying" and rejected by the manual-axes check)
     z = rlens * 0
+    zi = z.astype(idt)
     zb = rlens < 0
     zs = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
+    zsi = jnp.zeros((B, max_seeds), idt) + zi[:, None]
     # reads are padded with an extra column of 4s so the final active
     # extension terminates and emits inside the loop
-    state = (zb, z, z, z, z, z, zs, zs, zs, zs)
+    state = (zb, z, zi, zi, zi, z, zs, zs, zsi, zsi)
     state = jax.lax.fori_loop(0, l_max + 1, step, state)
     _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf = state
-    # single packed output: one device->host transfer (see kmer_seed.py)
-    return jnp.concatenate([n_seeds[:, None], rpos, slen, k0f, freqf], axis=1)
+    # single packed output: one device->host transfer (see kmer_seed.py).
+    # int32 throughout at small scale; promoted to the index dtype when the
+    # row starts (k0) need 64 bits.
+    return jnp.concatenate(
+        [n_seeds[:, None].astype(idt), rpos.astype(idt), slen.astype(idt), k0f, freqf],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
@@ -271,16 +292,19 @@ def sensitive_scan_impl(
     [n_seeds | rpos | len | k0 | freq] with seeds in emission (rpos) order.
     """
     B = reads.shape[0]
+    idt = L2.dtype
     reads = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
     L = reads.shape[1] - 1
     end_pos = rlens - min_seed_len
     bidx = jnp.arange(B)
 
     z = rlens * 0
+    zi = z.astype(idt)
     zb = rlens < 0
     zs = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
+    zsi = jnp.zeros((B, max_seeds), idt) + zi[:, None]
     # state: p, active, s, x0, x1, x2, n_seeds, rpos, slen, k0f, freqf
-    state = (z, zb, z, z, z + 1, z, z, zs, zs, zs, zs, jnp.int32(0))
+    state = (z, zb, z, zi, zi + idt.type(1), zi, z, zs, zs, zsi, zsi, jnp.int32(0))
     max_trips = 31 * (l_max // jnp.maximum(min_seed_len, 1) + 2)
 
     def cond(st):
@@ -298,12 +322,12 @@ def sensitive_scan_impl(
         stop = jnp.minimum(s + 30, rlens)
 
         # --- uniform extension attempt (clamped rows for inactive lanes) ---
-        x1s = jnp.maximum(x1, 1)
+        x1s = jnp.maximum(x1, idt.type(1))
         tk = occ4_b(x1s - 1)
-        tl = occ4_b(x1s - 1 + jnp.maximum(x2, 0))
+        tl = occ4_b(x1s - 1 + jnp.maximum(x2, idt.type(0)))
         ok_x1 = L2[None, :4] + 1 + tk
         ok_x2 = tl - tk
-        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
+        s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
         s2_ = s3 + ok_x2[:, 3]
         s1_ = s2_ + ok_x2[:, 2]
         s0_ = s1_ + ok_x2[:, 1]
@@ -334,8 +358,8 @@ def sensitive_scan_impl(
         # lanes idle at p (never-started or just ended successfully) may
         # start a new extension at p this trip
         startable = (~done) & (~cont) & (~fail_restart) & (~amb) & (p < end_pos)
-        init_x0 = L2[c_safe] + 1
-        init_x1 = L2[3 - c_safe] + 1
+        init_x0 = L2[c_safe] + idt.type(1)
+        init_x1 = L2[3 - c_safe] + idt.type(1)
         init_x2 = L2[c_safe + 1] - L2[c_safe]
 
         new_active = cont | startable
@@ -356,7 +380,10 @@ def sensitive_scan_impl(
 
     state = jax.lax.while_loop(cond, body, state)
     _, _, _, _, _, _, n_seeds, rpos, slen, k0f, freqf, _ = state
-    return jnp.concatenate([n_seeds[:, None], rpos, slen, k0f, freqf], axis=1)
+    return jnp.concatenate(
+        [n_seeds[:, None].astype(idt), rpos.astype(idt), slen.astype(idt), k0f, freqf],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))

@@ -66,7 +66,7 @@ def build_sharded_fm(gidx, n_shards: int) -> tuple[ShardedFM, dict]:
     d = gidx.device_arrays
     occ_cp = np.asarray(d["occ_cp"])
     bwt_words = np.asarray(d["bwt_words"])
-    sa_full = np.asarray(d["sa_full"])
+    sa_full = np.asarray(gidx.sa_full.astype(gidx.index_dtype, copy=False))
 
     nb = occ_cp.shape[0]
     nb_local = -(-nb // n_shards)

@@ -264,7 +264,7 @@ class KartMapper:
         base = np.repeat(k0.reshape(-1), reps)
         cum = np.cumsum(reps)
         offs = np.arange(total) - np.repeat(cum - reps, reps)
-        rows = (base + offs).astype(np.int32)
+        rows = base + offs  # int64-safe: k0 carries the index dtype
         locs = self.sa_full_np[rows].astype(np.int64)
         rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
         ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
@@ -335,7 +335,7 @@ class KartMapper:
         base = np.repeat(k0.reshape(-1), reps)
         cum = np.cumsum(reps)
         offs = np.arange(total) - np.repeat(cum - reps, reps)
-        rows = (base + offs).astype(np.int32)
+        rows = base + offs  # int64-safe: k0 carries the index dtype
         locs = self.sa_full_np[rows].astype(np.int64)
         rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
         ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
@@ -570,6 +570,9 @@ class KartMapper:
             mode == "device"
             and self.native is not None
             and self.use_device
+            # packed native expansion is int32; human-scale indexes fall
+            # through to the batched device-seeding path (int64 host gather)
+            and self.gidx.seq_len < 2**31
         ):
             return self._map_stream_device(path1, path2, pair_end, fastq, writer, progress)
         if self._native_seeding_ready():
