@@ -31,6 +31,8 @@ def usage(prog: str) -> None:
     print("         -p            paired-end reads are interlaced in the same file")
     print("         -pacbio       pacbio data")
     print("         -cpu          force the host (no-TPU) mapping path")
+    print("         -idx-shards N shard the FM-index over N mesh devices")
+    print("                       (for indexes too big for one chip's HBM)")
     print("         -v            version\n")
 
 
@@ -68,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     debug = False
     use_device = True
     backend = "native"
+    idx_shards = int(os.environ.get("KART_IDX_SHARDS", "0"))
     out_name = "output.sam"
     out_format = 0
     index_name = None
@@ -117,6 +120,9 @@ def main(argv: list[str] | None = None) -> int:
             debug = True
         elif p == "-cpu":
             use_device = False
+        elif p == "-idx-shards" and i + 1 < len(args):
+            i += 1
+            idx_shards = int(args[i])
         elif p == "-backend" and i + 1 < len(args):
             # undocumented: native (default) | python — force the pipeline
             # implementation (python exercises the device kernels end-to-end)
@@ -172,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         backend=backend,
         n_threads=threads,
         debug=debug,
+        idx_shards=idx_shards,
     )
 
     if out_format == 0:

@@ -153,11 +153,13 @@ def inv_psi(fm: FMIndexArrays, k):
 # ---------------------------------------------------------------------------
 
 
-def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max):
-    """Core batched FastMode seeding scan, parameterized over the batched
-    occ4 lookup (`occ4_b: (B,) int32 rows -> (B, 4) int32 counts`) so the
-    same scan runs against a replicated FM-index (seed_scan) or an
-    index sharded across a mesh axis (parallel.sharded_index).
+def seed_scan_impl(occ4_pair, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max):
+    """Core batched FastMode seeding scan, parameterized over the PAIRED
+    occ4 lookup (`occ4_pair: ((B,), (B,)) rows -> ((B,4), (B,4)) counts`) so
+    the same scan runs against a replicated FM-index (seed_scan) or an
+    index sharded across a mesh axis (parallel.sharded_index) — the paired
+    form lets the sharded path answer both lookups of a scan step with ONE
+    psum instead of two.
 
     Row/interval state (x0, x1, x2, k0) carries L2's dtype — int32 for
     sub-2^31 indexes, int64 at human scale."""
@@ -175,8 +177,7 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
         c_safe = jnp.minimum(c, 3)
 
         # --- extension attempt for active lanes (uniform compute) ---
-        tk = occ4_b(x1 - 1)  # (B, 4)
-        tl = occ4_b(x1 - 1 + x2)
+        tk, tl = occ4_pair(x1 - 1, x1 - 1 + x2)  # (B, 4) each
         ok_x1 = L2[None, :4] + 1 + tk
         ok_x2 = tl - tk
         s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
@@ -241,12 +242,20 @@ def seed_scan_impl(occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds
     )
 
 
+def _occ4_pair_replicated(fm: FMIndexArrays):
+    occ4_b = jax.vmap(lambda k: occ4(fm, k))
+
+    def pair(ka, kb):
+        return occ4_b(ka), occ4_b(kb)
+
+    return pair
+
+
 @functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
 def seed_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
-    occ4_b = jax.vmap(lambda k: occ4(fm, k))
     return seed_scan_impl(
-        occ4_b, fm.L2, fm.primary, reads.astype(jnp.int32), rlens, min_seed_len,
-        max_seeds=max_seeds, l_max=l_max,
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads.astype(jnp.int32),
+        rlens, min_seed_len, max_seeds=max_seeds, l_max=l_max,
     )
 
 
@@ -267,7 +276,7 @@ def unpack_seed_scan(packed, max_seeds: int) -> dict:
 
 
 def sensitive_scan_impl(
-    occ4_b, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max
+    occ4_pair, L2, primary, reads, rlens, min_seed_len, *, max_seeds, l_max
 ):
     """Batched SensitiveMode seeding (IdentifySeedPairs_SensitiveMode,
     reference src/AlignmentCandidates.cpp:132-169 + BWT_Search
@@ -323,8 +332,7 @@ def sensitive_scan_impl(
 
         # --- uniform extension attempt (clamped rows for inactive lanes) ---
         x1s = jnp.maximum(x1, idt.type(1))
-        tk = occ4_b(x1s - 1)
-        tl = occ4_b(x1s - 1 + jnp.maximum(x2, idt.type(0)))
+        tk, tl = occ4_pair(x1s - 1, x1s - 1 + jnp.maximum(x2, idt.type(0)))
         ok_x1 = L2[None, :4] + 1 + tk
         ok_x2 = tl - tk
         s3 = x0 + ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(x0.dtype)
@@ -388,10 +396,9 @@ def sensitive_scan_impl(
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
 def sensitive_scan(fm: FMIndexArrays, reads, rlens, min_seed_len, *, max_seeds, l_max):
-    occ4_b = jax.vmap(lambda k: occ4(fm, k))
     return sensitive_scan_impl(
-        occ4_b, fm.L2, fm.primary, reads.astype(jnp.int32), rlens, min_seed_len,
-        max_seeds=max_seeds, l_max=l_max,
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads.astype(jnp.int32),
+        rlens, min_seed_len, max_seeds=max_seeds, l_max=l_max,
     )
 
 

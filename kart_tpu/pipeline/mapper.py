@@ -69,6 +69,7 @@ class KartMapper:
         backend: str = "native",
         n_threads: int = 0,
         debug: bool = False,
+        idx_shards: int = 0,
     ):
         self.gidx = gidx
         self.pacbio = pacbio
@@ -99,6 +100,13 @@ class KartMapper:
         # direct 13-mer lookup seeding engine (small-genome TPU fast path)
         self.kmer_tables = None
         self._kmer_tables_tried = False
+        # mesh-sharded FM-index seeding ("tensor parallel" index): the Occ/
+        # BWT slabs are block-sharded over an `idx` mesh axis of this many
+        # devices and every scan step rides ONE fused psum
+        # (parallel/sharded_index.py).  0/1 = replicated index.
+        self.idx_shards = int(idx_shards or 0)
+        self._sharded_state = None
+        self._sharded_fns: dict = {}
 
     @property
     def fm_dev(self):
@@ -110,6 +118,11 @@ class KartMapper:
         if self._kmer_tables_tried:
             return self.kmer_tables
         self._kmer_tables_tried = True
+        if self.idx_shards > 1:
+            # sharded-index mode exists for indexes too big to replicate;
+            # the 13-mer direct tables are equally oversized there, and
+            # using them would bypass the sharded scan entirely
+            return None
         if not (self.use_device or self.native is not None):
             return None
         # gate: multiplicities must be bounded and every 4-mer must occur so
@@ -137,6 +150,67 @@ class KartMapper:
 
     def _encode(self, seq: bytes) -> np.ndarray:
         return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].astype(np.int32)
+
+    def _get_sharded(self):
+        """Place the block-sharded FM-index on an `idx` mesh of
+        self.idx_shards devices (once)."""
+        if self._sharded_state is None:
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharded_index import build_sharded_fm
+
+            devs = jax.devices()
+            if len(devs) < self.idx_shards:
+                raise RuntimeError(
+                    f"idx_shards={self.idx_shards} but only {len(devs)} devices"
+                )
+            mesh = Mesh(np.array(devs[: self.idx_shards]), ("idx",))
+            sfm, geom = build_sharded_fm(self.gidx, self.idx_shards)
+            import jax.numpy as jnp
+
+            sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx", None)))
+            sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx", None)))
+            sfm.sa_full = jax.device_put(sfm.sa_full, NamedSharding(mesh, P("idx")))
+            repl = NamedSharding(mesh, P())
+            sfm.L2 = jax.device_put(jnp.asarray(sfm.L2), repl)
+            sfm.primary = jax.device_put(jnp.asarray(sfm.primary), repl)
+            sfm.seq_len = jax.device_put(jnp.asarray(sfm.seq_len), repl)
+            self._sharded_state = (mesh, sfm, geom["nb_local"])
+        return self._sharded_state
+
+    def _sharded_seed_packed(self, reads, rl, max_seeds: int, l_max: int) -> np.ndarray:
+        """FastMode seeding against the mesh-sharded index; same packed
+        layout as ops.fm_search.seed_scan."""
+        mesh, sfm, nb_local = self._get_sharded()
+        key = (max_seeds, l_max)
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.dp import ShardedFMSpecs
+            from ..parallel.sharded_index import sharded_seed_scan
+
+            msl = np.int32(self.min_seed_len)
+
+            def local(sfm_l, reads_l, rlens_l):
+                return sharded_seed_scan(
+                    sfm_l, nb_local, "idx", reads_l, rlens_l, msl,
+                    max_seeds=max_seeds, l_max=l_max,
+                )
+
+            fn = jax.jit(
+                jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(ShardedFMSpecs("idx"), P(), P()),
+                    out_specs=P(),
+                )
+            )
+            self._sharded_fns[key] = fn
+        import jax.numpy as jnp
+
+        return np.asarray(fn(sfm, jnp.asarray(reads), jnp.asarray(rl)))
 
     def _seed_batch_flat(self, enc_reads: list[np.ndarray]):
         """FastMode seeding for a batch of encoded reads -> flat arrays
@@ -180,8 +254,16 @@ class KartMapper:
         rl = np.zeros(B, dtype=np.int32)
         rl[:n] = rlens
         max_seeds = l_max // (self.min_seed_len + 1) + 1
-        tb = self._get_kmer_tables()
-        if tb is not None:
+        if self.idx_shards > 1:
+            packed = self._sharded_seed_packed(reads, rl, max_seeds, l_max)[:n]
+            out = unpack_seed_scan(packed, max_seeds)
+            n_seeds = out["n_seeds"]
+            rpos = out["rpos"]
+            slen = out["slen"]
+            k0 = out["k0"]
+            freq = out["freq"]
+            # falls through to the shared occurrence expansion below
+        elif (tb := self._get_kmer_tables()) is not None:
             from ..ops.kmer_seed import kmer_seed_scan
 
             hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))

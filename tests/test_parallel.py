@@ -184,3 +184,35 @@ def test_merge_sam_shards(tmp_path):
     out = tmp_path / "m.sam"
     merge_sam_shards([str(a), str(b)], str(out))
     assert out.read_text() == "@HD\tVN:1.0\n@SQ\tSN:c\tLN:9\nr1\t0\nr2\t0\nr3\t0\n"
+
+
+def test_cli_idx_shards_matches_default(workdir, small_genome):
+    """Product-path sharded-index mode: `-idx-shards 8` (FM-index block-
+    sharded over the 8-device mesh, one fused psum per scan step) must
+    produce byte-identical SAM to the default replicated run."""
+    import sys
+    from pathlib import Path
+
+    from kart_tpu import cli as kart_cli
+    from kart_tpu.index import build_index, index_files_exist
+
+    REPO = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(REPO / "tools"))
+    from simulate_reads import simulate
+
+    prefix = workdir / "small_idx"
+    if not index_files_exist(str(prefix)):
+        build_index(str(small_genome), str(prefix), verbose=False)
+    r1 = workdir / "shard_r1.fq"
+    r2 = workdir / "shard_r2.fq"
+    simulate(str(small_genome), str(r1), str(r2), n_reads=2000, read_len=100, seed=9)
+
+    base = workdir / "shard_base.sam"
+    sharded = workdir / "shard_idx8.sam"
+    assert kart_cli.main(
+        ["kart-tpu", "-i", str(prefix), "-f", str(r1), "-f2", str(r2),
+         "-o", str(base), "-silent"]) == 0
+    assert kart_cli.main(
+        ["kart-tpu", "-i", str(prefix), "-f", str(r1), "-f2", str(r2),
+         "-o", str(sharded), "-silent", "-idx-shards", "8"]) == 0
+    assert sharded.read_bytes() == base.read_bytes()
