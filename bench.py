@@ -219,20 +219,32 @@ def main():
                 g.write(line)
     mapper.map_stream(w1, w2, True, True, lambda s: None)
 
-    if os.environ.get("KART_BENCH_DEVICE") == "1":
-        # informational: the TPU device-pipelined mode, honestly reported
+    if os.environ.get("KART_BENCH_DEVICE") != "0":
+        # informational line: the TPU device-pipelined mode, honestly
+        # reported (group-fused dispatches, 2-bit packed uploads).  The
+        # driver records the LAST line; this one documents what the
+        # TPU-resident seeding path itself sustains through the axon relay.
         os.environ["KART_SEED_MODE"] = "device"
-        dev_mapper = KartMapper(gidx)
-        dev_mapper.map_stream(w1, w2, True, True, lambda s: None)
-        dev_median, dev_rates = measure(dev_mapper, r1, r2, 3)
-        print(json.dumps({
-            "metric": "illumina_pe_reads_per_sec_device_pipelined",
-            "value": round(dev_median, 1),
-            "unit": "reads/s",
-            "vs_baseline": round(dev_median / BASELINE_REF_READS_PER_SEC, 4),
-            "note": "TPU-resident seeding pipeline through the axon relay",
-        }))
-        del os.environ["KART_SEED_MODE"]
+        try:
+            dev_mapper = KartMapper(gidx)
+            dev_mapper.map_stream(w1, w2, True, True, lambda s: None)
+            dev_median, dev_rates = measure(dev_mapper, r1, r2, 3)
+            print(json.dumps({
+                "metric": "illumina_pe_reads_per_sec_device_pipelined",
+                "value": round(dev_median, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(dev_median / BASELINE_REF_READS_PER_SEC, 4),
+                "spread": [round(min(dev_rates), 1), round(max(dev_rates), 1)],
+                "note": "TPU-resident seeding pipeline through the axon relay",
+            }))
+        except Exception as e:  # chip unreachable: keep the headline line alive
+            print(json.dumps({
+                "metric": "illumina_pe_reads_per_sec_device_pipelined",
+                "value": None, "unit": "reads/s", "vs_baseline": None,
+                "note": f"device mode unavailable: {type(e).__name__}",
+            }))
+        finally:
+            del os.environ["KART_SEED_MODE"]
 
     median, rates = measure(mapper, r1, r2, N_PASSES)
     # same-window reference measurement when the oracle build is present;

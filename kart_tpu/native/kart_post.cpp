@@ -2633,11 +2633,13 @@ struct NativeReader {
   GzLineReader f1, f2;
   bool sep = false, fastq = true, pair_end = false;
   int limit = 4000;  // ReadChunkSize (structure.h:21); 10 for PacBio
-  // 3 buffers: the chunk returned by next_chunk stays valid across ONE
-  // further next_chunk call (depth-1 pipelining: device-seed chunk k+1
-  // while post-processing chunk k), while the prefetch thread fills the
-  // third.
-  ChunkBufs bufs[3];
+  // Ring of n_bufs buffers: the chunk returned by next_chunk stays valid
+  // across n_bufs - 2 further next_chunk calls while the prefetch thread
+  // fills the next slot.  Default 3 = depth-1 pipelining (device-seed
+  // chunk k+1 while post-processing chunk k); the group-fused device mode
+  // opens with a larger ring so a whole dispatch group stays alive.
+  std::vector<ChunkBufs> bufs;
+  int n_bufs = 3;
   int cur = 0;
   std::thread th;
   bool th_active = false;
@@ -2726,7 +2728,7 @@ struct NativeReader {
   }
 
   void start_prefetch() {
-    int tgt = (cur + 1) % 3;
+    int tgt = (cur + 1) % n_bufs;
     th = std::thread([this, tgt]() { fill_chunk(bufs[tgt]); });
     th_active = true;
   }
@@ -2985,11 +2987,13 @@ void kart_free(char* p) { free(p); }
 // --- chunked reader ---------------------------------------------------------
 
 void* kart_reader_open(const char* path1, const char* path2, int32_t fastq,
-                       int32_t pair_end, int32_t pacbio) {
+                       int32_t pair_end, int32_t pacbio, int32_t n_bufs) {
   NativeReader* r = new NativeReader();
   r->fastq = fastq != 0;
   r->pair_end = pair_end != 0;
   r->limit = pacbio ? 10 : 4000;
+  r->n_bufs = n_bufs >= 3 ? n_bufs : 3;
+  r->bufs.resize(r->n_bufs);
   if (!r->f1.open(path1)) {
     delete r;
     return nullptr;
@@ -3000,8 +3004,8 @@ void* kart_reader_open(const char* path1, const char* path2, int32_t fastq,
     delete r;
     return nullptr;
   }
-  r->cur = 2;           // first next_chunk advances to 0
-  r->start_prefetch();  // fills bufs[0]
+  r->cur = r->n_bufs - 1;  // first next_chunk advances to 0
+  r->start_prefetch();     // fills bufs[0]
   return r;
 }
 
@@ -3014,7 +3018,7 @@ int32_t kart_reader_next_chunk(void* h, const uint8_t** seq,
   NativeReader* r = (NativeReader*)h;
   if (r->exhausted) return 0;
   r->join_prefetch();
-  r->cur = (r->cur + 1) % 3;
+  r->cur = (r->cur + 1) % r->n_bufs;
   ChunkBufs& b = r->bufs[r->cur];
   if (b.n == r->limit)
     r->start_prefetch();  // full chunk: more may follow

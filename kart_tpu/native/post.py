@@ -108,7 +108,7 @@ def load_postlib():
     lib.kart_reader_open.restype = ctypes.c_void_p
     lib.kart_reader_open.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     lib.kart_reader_next_chunk.restype = ctypes.c_int32
     lib.kart_reader_next_chunk.argtypes = [
@@ -141,7 +141,7 @@ class NativeReader:
     NativePostProcessor.process_chunk_ptrs."""
 
     def __init__(self, path1: str, path2: str | None, fastq: bool,
-                 pair_end: bool, pacbio: bool):
+                 pair_end: bool, pacbio: bool, n_bufs: int = 3):
         self.lib = load_postlib()
         if self.lib is None:
             raise RuntimeError("native library unavailable")
@@ -151,6 +151,7 @@ class NativeReader:
             ctypes.c_int32(1 if fastq else 0),
             ctypes.c_int32(1 if pair_end else 0),
             ctypes.c_int32(1 if pacbio else 0),
+            ctypes.c_int32(n_bufs),
         )
         if not self.h:
             raise RuntimeError(f"cannot open read file: {path1} / {path2}")
@@ -158,8 +159,8 @@ class NativeReader:
     def next_chunk(self):
         """-> (n_reads, (seq, seq_off, qual, qual_off, headers, header_off)
         raw ptrs); n_reads == 0 at end of input.  Pointers stay valid across
-        ONE further next_chunk() call (3 internal buffers — depth-1
-        pipelining), then are reused."""
+        n_bufs - 2 further next_chunk() calls (default depth-1 pipelining),
+        then are reused."""
         seq = ctypes.c_void_p()
         seq_off = ctypes.c_void_p()
         qual = ctypes.c_void_p()
@@ -308,18 +309,25 @@ class NativePostProcessor:
     def encode_reads_ptrs(self, n, ptrs, rows, l_max):
         """Encode a NativeReader chunk into the device kernels' (rows,
         l_max) int8 layout (codes, padded 4).  Returns (reads, rlens)."""
-        seq, seq_off, _, _, _, _ = ptrs
         reads = np.full((rows, l_max), 4, dtype=np.int8)
         rlens = np.zeros(rows, dtype=np.int32)
+        self.encode_reads_into(n, ptrs, reads, rlens, 0, l_max)
+        return reads, rlens
+
+    def encode_reads_into(self, n, ptrs, reads, rlens, row, l_max):
+        """Encode a NativeReader chunk into rows [row, row+n) of a
+        C-contiguous (B, l_max) int8 batch (group fusion: several chunks
+        share one device dispatch)."""
+        seq, seq_off, _, _, _, _ = ptrs
+        sub = reads[row:]
         self.lib.kart_encode_reads(
             ctypes.cast(seq, ctypes.POINTER(ctypes.c_uint8)),
             ctypes.cast(seq_off, ctypes.POINTER(ctypes.c_int64)),
             ctypes.c_int32(n),
             ctypes.c_int32(l_max),
-            reads.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            _i32p(rlens),
+            sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            rlens[row:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        return reads, rlens
 
     def process_chunk_packed(self, n, pair_end, fastq, ptrs, packed, max_seeds, stats):
         """Chunk mapping from NativeReader buffers with DEVICE-produced

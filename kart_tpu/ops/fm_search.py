@@ -36,15 +36,22 @@ OCC_THR = 50
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class FMIndexArrays:
-    """Device-resident FM-index (TPU layout: de-interleaved Occ/BWT)."""
+    """Device-resident FM-index (TPU layout: de-interleaved Occ/BWT).
 
-    occ_cp: jax.Array  # (n_blocks, 4) int32
-    bwt_words: jax.Array  # (n_blocks, 8) uint32
-    sa_samples: jax.Array  # (n_sa,) int32
-    L2: jax.Array  # (5,) int32
-    primary: jax.Array  # () int32
-    seq_len: jax.Array  # () int32
-    sa_full: jax.Array | None = None  # (seq_len+1,) int32 — fast-path SA
+    occ_cp and bwt_words are stored FLAT (1D): a (n_blocks, 4) int64 array
+    would be tile-padded to (8, 128) on TPU HBM — a 32x blowup that puts a
+    human-scale index (17 GB of padding for 550 MB of data) out of HBM
+    reach, and every lookup would drag a full 128-lane row through the
+    memory system to use 4 values.  Flat arrays gather exactly the 4 Occ
+    counts / 8 BWT words a lookup touches."""
+
+    occ_cp: jax.Array  # (n_blocks * 4,) i32/i64 — checkpoint counts, row-major
+    bwt_words: jax.Array  # (n_blocks * 8,) uint32 — BWT words, row-major
+    sa_samples: jax.Array  # (n_sa,) i32/i64
+    L2: jax.Array  # (5,) i32/i64
+    primary: jax.Array  # () i32/i64
+    seq_len: jax.Array  # () i32/i64
+    sa_full: jax.Array | None = None  # (seq_len+1,) — fast-path SA
 
     def tree_flatten(self):
         return (
@@ -74,8 +81,8 @@ class FMIndexArrays:
             with_full_sa = gidx.seq_len < 2**31
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
         return cls(
-            occ_cp=put(d["occ_cp"]),
-            bwt_words=put(d["bwt_words"]),
+            occ_cp=put(np.ascontiguousarray(d["occ_cp"]).reshape(-1)),
+            bwt_words=put(np.ascontiguousarray(d["bwt_words"]).reshape(-1)),
             sa_samples=put(d["sa_samples"]),
             L2=put(d["L2"]),
             primary=put(d["primary"]),
@@ -128,12 +135,14 @@ def occ4(fm: FMIndexArrays, k):
     sites because x1 >= 1 always)."""
     kk = k - (k >= fm.primary).astype(k.dtype)
     blk = kk >> 7
-    return occ4_from(fm.bwt_words[blk], fm.occ_cp[blk], kk)
+    words = fm.bwt_words[blk * 8 + jnp.arange(8)]
+    base = fm.occ_cp[blk * 4 + jnp.arange(4)]
+    return occ4_from(words, base, kk)
 
 
 def bwt_char(fm: FMIndexArrays, x):
     """bwt_B0: 2-bit code at primary-adjusted row x."""
-    w = fm.bwt_words[x >> 7, (x & 0x7F) >> 4]
+    w = fm.bwt_words[(x >> 7) * 8 + ((x & 0x7F) >> 4)]
     return ((w >> (((~x & 0xF) << 1).astype(jnp.uint32))) & jnp.uint32(3)).astype(jnp.int32)
 
 

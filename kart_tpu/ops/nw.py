@@ -37,13 +37,19 @@ NEW_GAP = np.float32(-1.5)
 
 LANES = 128  # fragment pairs per grid step (VPU lane width)
 
-# Device tiles are 16/32 only: the divide step keeps normal pairs ~20bp
-# (reference README; repartition re-splits anything larger), so these are
-# the hot sizes.  The kernel keeps ~30 live (lm+1, lm+1, 128) planes
-# (Mosaic pads the lane dim to 128 regardless of the logical batch), which
-# exceeds the 16MB VMEM budget at lm >= 64 — rare large fragments take the
-# host DP instead.
+# Plane-form tiles are 16/32 only: the divide step keeps normal pairs
+# ~20bp (reference README; repartition re-splits anything larger), so these
+# are the hot sizes.  The plane kernel keeps ~30 live (lm+1, lm+1, 128)
+# planes (Mosaic pads the lane dim to 128 regardless of the logical batch),
+# which exceeds the 16MB VMEM budget at lm >= 64 — those sizes (PacBio
+# conquer recursion leaves fragments up to ~300bp, tools.cpp:197) run the
+# wavefront kernel below instead, whose live state is O(lm+1) vectors.
 _TILE_LANES = {16: 128, 32: 128}
+# wavefront tiles: the (2lm+1, lm+1, 128) uint8 decision output must fit
+# VMEM alongside the vector state — 1.1MB at 64, 4.3MB at 128; 256 would
+# need 17MB, so 129+ stays on the host DP (a rare tail: PacBio recursion
+# splits anything >300 and the 8-mer repartition keeps Illumina tiny)
+_WAVE_TILES = (64, 128)
 
 
 def _nw_kernel(c1_ref, c2_ref, eq_ref, *, lm: int):
@@ -151,6 +157,140 @@ def nw_batch_planes(c1, c2, *, lm: int, interpret: bool = False):
     return jnp.transpose(eq, (2, 0, 1))[:n]
 
 
+def _nw_kernel_wave(c1_ref, c2_ref, eq_ref, *, lm: int):
+    """Antidiagonal-wavefront NW: same DP as _nw_kernel but the live state
+    is six (lm+1, LANES) float32 antidiagonal vectors instead of
+    (lm+1, lm+1, LANES) planes, so 64/128-length tiles fit VMEM.
+
+    Decision bits are stored DIAGONAL-major: eq_ref is (2lm+1, lm+1, N)
+    uint8 with eq_ref[d, i] = bits of cell (i, j=d-i); the host reindexes
+    to (i, j) planes (nw_batch_planes_wave).  Arithmetic is the exact
+    reference order (nw_alignment.cpp:47-60), so the bits — and therefore
+    the backtrace — are bit-identical to the plane kernel and the host DP.
+    """
+    # the driver pre-arranges both inputs to (lpad, N) — lm+1 rows padded
+    # up to a multiple of 8 sublanes (Mosaic's dynamic rotate requires
+    # aligned shapes): c1g row i holds the code of s1[i-1] (row 0 padding),
+    # c2rev row k holds s2[lm-1-k] (Mosaic has no in-kernel `rev`; a
+    # dynamic roll by d - lm then puts s2[d-i-1] at row i).  Rows > lm are
+    # padding: no valid cell reads them (static rolls shift downward only,
+    # and valid rows never wrap through the dynamic rotate).
+    c1g = c1_ref[:].astype(jnp.int32)  # (lpad, N)
+    c2rev = c2_ref[:].astype(jnp.int32)
+    lpad, n = c1g.shape
+
+    iv = jax.lax.broadcasted_iota(jnp.int32, (lpad, n), 0)  # vector row = i
+    # derive the constant planes from the INPUT (not an iota/constant): the
+    # fori_loop carry must start lane-varying, or Mosaic infers a
+    # lane-replicated carry layout that the body's concrete results cannot
+    # legally relayout into ("replicated in destination but not in source")
+    zf = c1g.astype(jnp.float32) * 0
+    maxp = zf + MAX_PENALTY
+
+    def boundary(d, R, T, S):
+        """Overwrite the two boundary lanes of diagonal d (cells (0, d) and
+        (d, 0)) with the plane kernel's init values (nw_alignment.cpp:36-46);
+        lanes beyond the matrix are left as-is (never read by valid cells).
+        All scalars are materialized at full (lpad, n) shape: mixing
+        replicated broadcasts into select_n trips a Mosaic relayout bug."""
+        dv = iv * 0 + d  # full-shape diagonal index
+        gdv = maxp * 0 + (OPEN_GAP + d.astype(jnp.float32) * EXTEND_GAP)
+        bj = (iv == 0) & (dv <= lm)  # top row cell (0, d)
+        bi = iv == dv  # left col cell (d, 0); iv <= lm bounds it
+        R = jnp.where(bj, gdv, jnp.where(bi, maxp, R))
+        T = jnp.where(bi, gdv, jnp.where(bj, maxp, T))
+        S = jnp.where(bj | bi, gdv, S)
+        return R, T, S
+
+    def bits_of(R, T, S):
+        return ((S == R).astype(jnp.int32) + 2 * (S == T).astype(jnp.int32)).astype(
+            jnp.uint8
+        )
+
+    # d = 0: only the origin (0,0) with r = t = s = 0
+    at0 = iv == 0
+    R0 = jnp.where(at0, zf, maxp)
+    T0 = jnp.where(at0, zf, maxp)
+    S0 = jnp.where(at0, zf, maxp)
+    eq_ref[0] = bits_of(R0, T0, S0)
+    # d = 1: boundary cells only
+    R1, T1, S1 = boundary(jnp.int32(1), maxp, maxp, maxp)
+    eq_ref[1] = bits_of(R1, T1, S1)
+
+    def step(d, carry):
+        Rpp, Tpp, Spp, Rp, Tp, Sp = carry
+        d = jnp.asarray(d).astype(jnp.int32)
+        # substitution term for cell (i, d-i): s1[i-1] vs s2[d-i-1].
+        # The rotate amount is normalized to [0, lpad): hardware dynamic
+        # rotates treat the amount as unsigned, so a negative d - lm
+        # (early diagonals) would rotate by garbage on the real chip
+        # (interpret mode forgives it).
+        lpad_i = jnp.int32(c2rev.shape[0])
+        c2g = pltpu.roll(c2rev, (d - lm) % lpad_i, axis=0)
+        nz = jnp.minimum(jnp.abs(c1g - c2g), 1).astype(jnp.float32)
+        sub = jnp.float32(1.5) - jnp.float32(3.0) * nz
+
+        r_left = Rp  # cell (i, j-1) lives at index i of diagonal d-1
+        s_left = Sp
+        t_up = pltpu.roll(Tp, 1, axis=0)  # cell (i-1, j): index i-1
+        s_up = pltpu.roll(Sp, 1, axis=0)
+        s_diag = pltpu.roll(Spp, 1, axis=0)  # cell (i-1, j-1): d-2, index i-1
+        rv = jnp.maximum(r_left + EXTEND_GAP, s_left + NEW_GAP)
+        tv = jnp.maximum(t_up + EXTEND_GAP, s_up + NEW_GAP)
+        sv = jnp.maximum(jnp.maximum(s_diag + sub, rv), tv)
+        dv = iv * 0 + d
+        interior = (iv >= 1) & (iv <= dv - 1) & (dv - iv <= lm)
+        R = jnp.where(interior, rv, maxp)
+        T = jnp.where(interior, tv, maxp)
+        S = jnp.where(interior, sv, maxp)
+        R, T, S = boundary(d, R, T, S)
+        eq_ref[pl.ds(d, 1)] = bits_of(R, T, S)[None]
+        return (Rp, Tp, Sp, R, T, S)
+
+    jax.lax.fori_loop(2, 2 * lm + 1, step, (R0, T0, S0, R1, T1, S1))
+
+
+@functools.partial(jax.jit, static_argnames=("lm", "interpret"))
+def _nw_wave_diag(c1, c2, *, lm: int, interpret: bool = False):
+    """Wavefront kernel driver: (N, lm) code pairs -> (N, 2lm+1, lm+1)
+    diagonal-major decision bits."""
+    n = c1.shape[0]
+    lanes = LANES
+    n_pad = -(-n // lanes) * lanes
+    lp = lm + 1
+    lpad = -(-lp // 8) * 8  # sublane-aligned vector rows (Mosaic rotate)
+    nd = 2 * lm + 1
+    c1p = jnp.pad(c1, ((0, n_pad - n), (0, 0)), constant_values=4).T  # (lm, Np)
+    c2p = jnp.pad(c2, ((0, n_pad - n), (0, 0)), constant_values=5).T
+    # pre-arrange for the kernel (no rev/pad primitives inside Mosaic):
+    # c1g[i] = s1[i-1]; c2rev[k] = s2[lm-1-k]; padding rows to lpad
+    c1g = jnp.pad(c1p, ((1, lpad - lp + 1), (0, 0)), constant_values=4)
+    c2rev = jnp.pad(c2p[::-1], ((0, lpad - lm), (0, 0)), constant_values=5)
+    eq = pl.pallas_call(
+        functools.partial(_nw_kernel_wave, lm=lm),
+        grid=(n_pad // lanes,),
+        in_specs=[
+            pl.BlockSpec((lpad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lpad, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nd, lpad, lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nd, lpad, n_pad), jnp.uint8),
+        interpret=interpret,
+    )(c1g, c2rev)
+    return jnp.transpose(eq, (2, 0, 1))[:n]
+
+
+def nw_batch_planes_wave(c1, c2, *, lm: int, interpret: bool = False) -> np.ndarray:
+    """(N, lm) code pairs -> (N, lm+1, lm+1) uint8 decision planes via the
+    wavefront kernel (diagonal-major on device, reindexed here)."""
+    diag = np.asarray(_nw_wave_diag(c1, c2, lm=lm, interpret=interpret))
+    lp = lm + 1
+    ii, jj = np.meshgrid(np.arange(lp), np.arange(lp), indexing="ij")
+    return diag[:, ii + jj, ii]
+
+
 def nw_backtrace(eq: np.ndarray, s1: bytes, s2: bytes) -> tuple[bytes, bytes]:
     """Reconstruct the gapped strings from one pair's decision bitplane,
     walking exactly like the reference backtrace (r first, then t;
@@ -179,7 +319,10 @@ def nw_backtrace(eq: np.ndarray, s1: bytes, s2: bytes) -> tuple[bytes, bytes]:
     return bytes(out1), bytes(out2)
 
 
-_TILES = (16, 32)  # larger fragments take the host DP (see _TILE_LANES)
+_TILES = (16, 32) + _WAVE_TILES  # beyond the largest: host DP
+
+# device-vs-host fragment coverage (observability; reset at will)
+nw_stats = {"device": 0, "host": 0}
 
 
 def _nw_tile_batch(pairs, lm, interpret):
@@ -196,9 +339,14 @@ def _nw_tile_batch(pairs, lm, interpret):
         # ambiguous bases to a shared sentinel 6
         c1[k, : len(a)][c1[k, : len(a)] == 4] = 6
         c2[k, : len(b)][c2[k, : len(b)] == 4] = 6
-    eq = np.asarray(
-        nw_batch_planes(jnp.asarray(c1), jnp.asarray(c2), lm=lm, interpret=interpret)
-    )
+    if lm in _TILE_LANES:
+        eq = np.asarray(
+            nw_batch_planes(jnp.asarray(c1), jnp.asarray(c2), lm=lm, interpret=interpret)
+        )
+    else:
+        eq = nw_batch_planes_wave(
+            jnp.asarray(c1), jnp.asarray(c2), lm=lm, interpret=interpret
+        )
     return [nw_backtrace(eq[k], a, b) for k, (a, b) in enumerate(pairs)]
 
 
@@ -229,8 +377,10 @@ def nw_align_batch(pairs: list[tuple[bytes, bytes]], *, interpret=None):
         res = _nw_tile_batch([pairs[k] for k in idxs], t, interpret)
         for k, r in zip(idxs, res):
             out[k] = r
+        nw_stats["device"] += len(idxs)
     from ..pipeline.conquer import nw_alignment
 
     for k in host_idx:
         out[k] = nw_alignment(*pairs[k])
+    nw_stats["host"] += len(host_idx)
     return out

@@ -1,0 +1,103 @@
+"""2-bit packed read transfer for the device-pipelined mode.
+
+The axon relay moves ~64 MB/s, so shipping one int8 code per base makes the
+host->device transfer the bottleneck of KART_SEED_MODE=device.  Reads are
+instead packed 16 bases per uint32 word on the host (4x fewer bytes) with
+ambiguous positions shipped as a sparse (read, pos) list (they are rare;
+genome N-runs are randomized at indexing, so only read-side Ns remain), and
+unpacked on device inside the SAME jit as the seeding scan — one dispatch,
+quarter the bytes.
+
+The packed seeding entry points (seed_scan_packed / sensitive_scan_packed /
+kmer_seed_scan_packed) return exactly the arrays of their unpacked
+counterparts (ops/fm_search.py, ops/kmer_seed.py)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fm_search import FMIndexArrays, seed_scan_impl, sensitive_scan_impl, _occ4_pair_replicated
+
+# sparse-ambiguity capacity buckets: one compile per bucket, padded entries
+# scatter out-of-range (dropped)
+_AMB_BUCKETS = [0, 256, 4096]
+
+
+def _amb_bucket(n: int) -> int:
+    for b in _AMB_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def pack_reads_2bit(reads_i8: np.ndarray):
+    """(B, l_max) int8 codes (0..3, >3 ambiguous) -> (words (B, ceil(L/16))
+    uint32, amb_r, amb_p int32 sparse ambiguity coordinates, padded to a
+    capacity bucket with out-of-range rows)."""
+    B, L = reads_i8.shape
+    nw = -(-L // 16)
+    amb_mask = reads_i8 > 3
+    codes = np.where(amb_mask, 0, reads_i8).astype(np.uint32)
+    padded = np.zeros((B, nw * 16), np.uint32)
+    padded[:, :L] = codes
+    shifts = (2 * np.arange(16)).astype(np.uint32)
+    words = (padded.reshape(B, nw, 16) << shifts).sum(axis=2, dtype=np.uint32)
+    amb_r, amb_p = np.nonzero(amb_mask)
+    cap = _amb_bucket(len(amb_r))
+    r = np.full(cap, B, np.int32)  # B = out of range -> dropped scatter
+    p = np.zeros(cap, np.int32)
+    r[: len(amb_r)] = amb_r
+    p[: len(amb_p)] = amb_p
+    return words, r, p
+
+
+def unpack_reads_device(words, amb_r, amb_p, l_max: int):
+    """Device-side inverse of pack_reads_2bit -> (B, l_max) int32 codes."""
+    j = jnp.arange(l_max, dtype=jnp.int32)
+    w = words[:, j >> 4]  # (B, l_max) uint32
+    codes = (w >> (2 * (j & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+    reads = codes.astype(jnp.int32)
+    if amb_r.shape[0]:
+        reads = reads.at[amb_r, amb_p].set(4, mode="drop")
+    return reads
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
+def seed_scan_packed(fm: FMIndexArrays, words, amb_r, amb_p, rlens,
+                     min_seed_len, *, max_seeds, l_max):
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    return seed_scan_impl(
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads, rlens,
+        min_seed_len, max_seeds=max_seeds, l_max=l_max,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "l_max"))
+def sensitive_scan_packed(fm: FMIndexArrays, words, amb_r, amb_p, rlens,
+                          min_seed_len, *, max_seeds, l_max):
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    return sensitive_scan_impl(
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads, rlens,
+        min_seed_len, max_seeds=max_seeds, l_max=l_max,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len"),
+)
+def kmer_seed_scan_packed(table_lo, text, sa_full, bitmaps, words, amb_r,
+                          amb_p, rlens, min_seed_len, *, max_seeds, l_max,
+                          hit_cap, rounds, seq_len):
+    from .kmer_seed import kmer_seed_scan
+
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    return kmer_seed_scan(
+        table_lo, text, sa_full, bitmaps, reads, rlens, min_seed_len,
+        max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
+        seq_len=seq_len,
+    )

@@ -76,11 +76,10 @@ def make_mapping_step(
         nb_local = geom["nb_local"]
         ns_local = geom["ns_local"]
         shard1 = NamedSharding(mesh, P(idx_axis))
-        shard2 = NamedSharding(mesh, P(idx_axis, None))
         repl = NamedSharding(mesh, P())
         sfm = jax.tree.map(jnp.asarray, sfm_host)
-        sfm.occ_cp = jax.device_put(sfm.occ_cp, shard2)
-        sfm.bwt_words = jax.device_put(sfm.bwt_words, shard2)
+        sfm.occ_cp = jax.device_put(sfm.occ_cp, shard1)
+        sfm.bwt_words = jax.device_put(sfm.bwt_words, shard1)
         sfm.sa_full = jax.device_put(sfm.sa_full, shard1)
         sfm.L2 = jax.device_put(sfm.L2, repl)
         sfm.primary = jax.device_put(sfm.primary, repl)
@@ -126,8 +125,8 @@ def ShardedFMSpecs(idx_axis: str):
     from .sharded_index import ShardedFM
 
     return ShardedFM(
-        occ_cp=P(idx_axis, None),
-        bwt_words=P(idx_axis, None),
+        occ_cp=P(idx_axis),
+        bwt_words=P(idx_axis),
         sa_full=P(idx_axis),
         L2=P(),
         primary=P(),

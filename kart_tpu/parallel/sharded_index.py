@@ -30,12 +30,13 @@ from ..ops.fm_search import occ4_from, seed_scan_impl
 class ShardedFM:
     """FM-index arrays laid out for block-sharding along a mesh axis.
 
-    Global shapes (before shard_map slices them):
-      occ_cp    (n_shards*nb_local, 4) int32
-      bwt_words (n_shards*nb_local, 8) uint32
-      sa_full   (n_shards*ns_local,)   int32
-      L2        (5,)  int32   (replicated)
-      primary   ()    int32   (replicated)
+    Global shapes (before shard_map slices them) — occ/words FLAT 1D like
+    FMIndexArrays (a 2D (n, 4) array would be tile-padded 32x on TPU HBM):
+      occ_cp    (n_shards*nb_local*4,) i32/i64
+      bwt_words (n_shards*nb_local*8,) uint32
+      sa_full   (n_shards*ns_local,)   i32/i64
+      L2        (5,)  (replicated)
+      primary   ()    (replicated)
 
     Inside shard_map each member sees the local slab plus its global row
     offset, computed from `jax.lax.axis_index`.
@@ -71,8 +72,8 @@ def build_sharded_fm(gidx, n_shards: int) -> tuple[ShardedFM, dict]:
     nb = occ_cp.shape[0]
     nb_local = -(-nb // n_shards)
     pad_b = nb_local * n_shards - nb
-    occ_cp = np.pad(occ_cp, ((0, pad_b), (0, 0)))
-    bwt_words = np.pad(bwt_words, ((0, pad_b), (0, 0)))
+    occ_cp = np.pad(occ_cp, ((0, pad_b), (0, 0))).reshape(-1)
+    bwt_words = np.pad(bwt_words, ((0, pad_b), (0, 0))).reshape(-1)
 
     ns = sa_full.shape[0]
     ns_local = -(-ns // n_shards)
@@ -105,7 +106,9 @@ def sharded_occ4_batch(sfm_local: ShardedFM, nb_local: int, axis: str, k):
         row = blk - lo
         mine = (row >= 0) & (row < nb_local)
         rc = jnp.clip(row, 0, nb_local - 1)
-        cnt = occ4_from(sfm_local.bwt_words[rc], sfm_local.occ_cp[rc], kk)
+        words = sfm_local.bwt_words[rc * 8 + jnp.arange(8)]
+        base = sfm_local.occ_cp[rc * 4 + jnp.arange(4)]
+        cnt = occ4_from(words, base, kk)
         return jnp.where(mine, cnt, 0)
 
     local = jax.vmap(one)(k)  # (B, 4)

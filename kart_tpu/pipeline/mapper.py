@@ -169,8 +169,8 @@ class KartMapper:
             sfm, geom = build_sharded_fm(self.gidx, self.idx_shards)
             import jax.numpy as jnp
 
-            sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx", None)))
-            sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx", None)))
+            sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx")))
+            sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx")))
             sfm.sa_full = jax.device_put(sfm.sa_full, NamedSharding(mesh, P("idx")))
             repl = NamedSharding(mesh, P())
             sfm.L2 = jax.device_put(jnp.asarray(sfm.L2), repl)
@@ -510,41 +510,53 @@ class KartMapper:
         return out
 
     # ------------------------------------------------------------------
-    # Device-pipelined stream: TPU seeds chunk k+1 while the CPU
-    # post-processes and formats chunk k (depth-1 double buffer; the
-    # native reader keeps a chunk's buffers alive across one next_chunk).
+    # Device-pipelined stream: the TPU seeds dispatch-group k+1 (G fused
+    # chunks — one jit call amortizes the relay's ~25 ms dispatch over
+    # G*4000 reads) while the CPU post-processes and formats group k
+    # (depth-1 double buffer; the native reader ring keeps both groups'
+    # buffers alive).
     # ------------------------------------------------------------------
 
     def _dispatch_seed_async(self, reads_i8, rl, l_max):
-        """Dispatch device seeding for an encoded (B, l_max) int8 batch.
-        Returns (kind, fut, max_seeds): the jax array is NOT materialized
-        (async dispatch)."""
+        """Dispatch device seeding for an encoded (B, l_max) int8 batch as
+        ONE jit call with 2-bit packed read upload (ops/pack.py: 4x fewer
+        bytes through the relay; unpack fuses into the scan).  Returns
+        (kind, fut, max_seeds): the jax array is NOT materialized (async
+        dispatch)."""
         import jax.numpy as jnp
 
+        from ..ops.pack import (
+            kmer_seed_scan_packed,
+            pack_reads_2bit,
+            seed_scan_packed,
+            sensitive_scan_packed,
+        )
+
+        words, amb_r, amb_p = pack_reads_2bit(reads_i8)
+        words, amb_r, amb_p = jnp.asarray(words), jnp.asarray(amb_r), jnp.asarray(amb_p)
+        rl_d = jnp.asarray(rl)
+        msl = np.int32(self.min_seed_len)
         if self.pacbio:
             max_seeds = l_max // self.min_seed_len + 2
-            fut = sensitive_scan(
-                self.fm_dev, jnp.asarray(reads_i8), jnp.asarray(rl),
-                np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
+            fut = sensitive_scan_packed(
+                self.fm_dev, words, amb_r, amb_p, rl_d, msl,
+                max_seeds=max_seeds, l_max=l_max,
             )
             return "fm", fut, max_seeds
         max_seeds = l_max // (self.min_seed_len + 1) + 1
         tb = self._get_kmer_tables()
         if tb is not None:
-            from ..ops.kmer_seed import kmer_seed_scan
-
             hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
-            fut = kmer_seed_scan(
+            fut = kmer_seed_scan_packed(
                 tb.table_lo, tb.text, tb.sa_full, tb.bitmaps,
-                jnp.asarray(reads_i8), jnp.asarray(rl),
-                np.int32(self.min_seed_len),
+                words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max,
                 hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,
             )
             return "kmer", fut, max_seeds
-        fut = seed_scan(
-            self.fm_dev, jnp.asarray(reads_i8), jnp.asarray(rl),
-            np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
+        fut = seed_scan_packed(
+            self.fm_dev, words, amb_r, amb_p, rl_d, msl,
+            max_seeds=max_seeds, l_max=l_max,
         )
         return "fm", fut, max_seeds
 
@@ -584,50 +596,86 @@ class KartMapper:
             norm[bad] = packed2
         return norm
 
-    def _map_stream_device(self, path1, path2, pair_end, fastq, writer,
-                           progress=None) -> None:
+    def _read_group(self, reader, G):
+        group = []
+        while len(group) < G:
+            n, ptrs = reader.next_chunk()
+            if n == 0:
+                break
+            group.append((n, ptrs))
+        return group
+
+    def _encode_group(self, group, l_buckets, b_buckets):
+        """Encode G reader chunks into ONE fused (B, l_max) int8 batch."""
         import ctypes
 
+        total = sum(n for n, _ in group)
+        l_raw = 0
+        for n, ptrs in group:
+            off = np.ctypeslib.as_array(
+                ctypes.cast(ptrs[1], ctypes.POINTER(ctypes.c_int64)),
+                shape=(n + 1,),
+            )
+            l_raw = max(l_raw, int(np.diff(off).max()))
+        l_max = _bucket(l_raw, l_buckets)
+        B = _bucket(total, b_buckets)
+        reads = np.full((B, l_max), 4, dtype=np.int8)
+        rlens = np.zeros(B, dtype=np.int32)
+        row = 0
+        for n, ptrs in group:
+            self.native.encode_reads_into(n, ptrs, reads, rlens, row, l_max)
+            row += n
+        return reads, rlens, l_max
+
+    def _map_stream_device(self, path1, path2, pair_end, fastq, writer,
+                           progress=None) -> None:
         from ..native.post import NativeReader
 
         l_buckets = _PB_L_BUCKETS if self.pacbio else _L_BUCKETS
         b_buckets = _PB_B_BUCKETS if self.pacbio else _B_BUCKETS
+        import os
+
+        G = max(1, int(os.environ.get("KART_DEVICE_GROUP", "8")))
+        # fused-group batch buckets: steady state is G full chunks
+        chunk_sz = 10 if self.pacbio else 4000
+        b_buckets = sorted(set(b_buckets + [G * chunk_sz]))
         # ensure the native side can expand SA rows (tables when available,
         # bare full SA otherwise)
         if not self._native_seeding_ready() and not getattr(
             self.native, "has_sa_full", False
         ):
             self.native.set_sa_full(self.gidx.sa_full, self.gidx.two_genome_size)
-        reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio)
+        # ring: group k (being post-processed) + group k+1 (being seeded)
+        # + the chunk under prefetch must all stay alive
+        reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio,
+                              n_bufs=2 * G + 2)
         prev = None
         try:
             while True:
-                n, ptrs = reader.next_chunk()
+                group = self._read_group(reader, G)
                 cur = None
-                if n:
-                    off = np.ctypeslib.as_array(
-                        ctypes.cast(ptrs[1], ctypes.POINTER(ctypes.c_int64)),
-                        shape=(n + 1,),
-                    )
-                    l_max = _bucket(int(np.diff(off).max()), l_buckets)
-                    B = _bucket(n, b_buckets)
-                    reads_i8, rl = self.native.encode_reads_ptrs(n, ptrs, B, l_max)
+                if group:
+                    reads_i8, rl, l_max = self._encode_group(group, l_buckets, b_buckets)
                     kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
-                    cur = (n, ptrs, kind, fut, ms, reads_i8, rl, l_max)
+                    cur = (group, kind, fut, ms, reads_i8, rl, l_max)
                 if prev is not None:
-                    n0, ptrs0, kind0, fut0, ms0, ri0, rl0, lm0 = prev
-                    packed = self._finalize_seed(kind0, fut0, n0, ms0, ri0, rl0, lm0)
-                    if progress is not None:
-                        progress(self.stats["total"])
-                    writer(
-                        self.native.process_chunk_packed(
-                            n0, pair_end and n0 % 2 == 0 and not self.pacbio,
-                            fastq, ptrs0, packed, ms0, self.stats,
+                    group0, kind0, fut0, ms0, ri0, rl0, lm0 = prev
+                    n_tot = sum(n for n, _ in group0)
+                    packed = self._finalize_seed(kind0, fut0, n_tot, ms0, ri0, rl0, lm0)
+                    row = 0
+                    for n0, ptrs0 in group0:
+                        if progress is not None:
+                            progress(self.stats["total"])
+                        writer(
+                            self.native.process_chunk_packed(
+                                n0, pair_end and n0 % 2 == 0 and not self.pacbio,
+                                fastq, ptrs0, packed[row : row + n0], ms0, self.stats,
+                            )
                         )
-                    )
-                    self.stats["total"] += n0
+                        self.stats["total"] += n0
+                        row += n0
                 prev = cur
-                if n == 0:
+                if not group:
                     break
         finally:
             reader.close()

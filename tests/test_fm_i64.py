@@ -43,8 +43,8 @@ def _fm64(gidx):
 
     d = gidx.device_arrays
     return FMIndexArrays(
-        occ_cp=jnp.asarray(np.asarray(d["occ_cp"]).astype(np.int64)),
-        bwt_words=jnp.asarray(d["bwt_words"]),
+        occ_cp=jnp.asarray(np.asarray(d["occ_cp"]).astype(np.int64).reshape(-1)),
+        bwt_words=jnp.asarray(np.asarray(d["bwt_words"]).reshape(-1)),
         sa_samples=jnp.asarray(np.asarray(d["sa_samples"]).astype(np.int64)),
         L2=jnp.asarray(np.asarray(d["L2"]).astype(np.int64)),
         primary=jnp.asarray(np.int64(d["primary"])),

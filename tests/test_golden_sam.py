@@ -184,8 +184,18 @@ def test_paired_end_batched_device_nw(golden, monkeypatch):
 
 def test_pacbio_batched_device_nw(golden, monkeypatch):
     monkeypatch.setenv("KART_BATCH_NW", "1")
+    from kart_tpu.ops.nw import nw_stats
+
+    before = dict(nw_stats)
     args = ["-pacbio", "-f", str(golden / "pb1.fq")]
     run_both(golden, args, args + ["-backend", "python"], "pb_batchnw")
+    # PacBio conquer fragments must overwhelmingly run on device (the
+    # 64/128 wavefront tiles cover the 33-300bp recursion leftovers;
+    # VERDICT r2 #5: >90% device-tile coverage)
+    dev = nw_stats["device"] - before["device"]
+    host = nw_stats["host"] - before["host"]
+    assert dev + host > 0
+    assert dev / (dev + host) > 0.9, (dev, host)
 
 
 def test_paired_end_device_cluster(golden, monkeypatch):

@@ -1,0 +1,88 @@
+"""Human-scale (i64) genome path: >2^31 text bases end-to-end.
+
+The genome is 1.1 Gbp over two chromosomes (2x text = 2.2e9 > 2^31), the
+scale gate the reference clears with its 64-bit index types
+(src/BWT_Index/bwt.h:41 bwtint_t = uint64).  Builds take ~25 min per
+indexer and ~20 GB disk, so this is gated on KART_HUGE_TESTS=1; assets are
+created by tools/make_huge_genome.py + both indexers (see the module body)
+and validated every round (PARITY.md "Large-genome validation")."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from conftest import REFBUILD, have_reference
+
+HUGE = Path(__file__).resolve().parent / "_work" / "huge"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("KART_HUGE_TESTS") != "1",
+    reason="huge-genome suite (~1h, ~40GB disk); set KART_HUGE_TESTS=1",
+)
+
+
+def _ensure_assets():
+    from kart_tpu.index import build_index, index_files_exist
+
+    HUGE.mkdir(parents=True, exist_ok=True)
+    fa = HUGE / "huge.fa"
+    if not fa.exists():
+        sys.path.insert(0, str(HUGE.parent.parent.parent / "tools"))
+        from make_huge_genome import write_genome
+
+        write_genome(str(fa))
+    if not index_files_exist(str(HUGE / "idx")):
+        build_index(str(fa), str(HUGE / "idx"), verbose=False)
+    if have_reference() and not (HUGE / "refidx.sa").exists():
+        subprocess.run(
+            [str(REFBUILD / "bin" / "bwt_index"), str(fa), str(HUGE / "refidx")],
+            check=True,
+        )
+    r1, r2 = HUGE / "h1.fq", HUGE / "h2.fq"
+    if not r1.exists():
+        sys.path.insert(0, str(HUGE.parent.parent.parent / "tools"))
+        from simulate_reads import simulate
+
+        simulate(str(fa), str(r1), str(r2), n_reads=8000, read_len=150, seed=12)
+    return fa, r1, r2
+
+
+def test_huge_index_byte_parity():
+    _ensure_assets()
+    if not have_reference():
+        pytest.skip("reference oracle not built")
+    for ext in ("pac", "ann", "amb", "bwt", "sa"):
+        ours = (HUGE / f"idx.{ext}").read_bytes()
+        ref = (HUGE / f"refidx.{ext}").read_bytes()
+        assert ours == ref, f".{ext} differs"
+
+
+def test_huge_genome_golden_sam():
+    """Map PE reads on the 2.2e9-text index with the i64 device FM seeding
+    path (k-mer tables gate out) + native post; bit-identical to the
+    reference binary."""
+    from kart_tpu import cli as kart_cli
+
+    fa, r1, r2 = _ensure_assets()
+    if not have_reference():
+        pytest.skip("reference oracle not built")
+    ours = HUGE / "ours.sam"
+    assert kart_cli.main(
+        ["kart-tpu", "-i", str(HUGE / "idx"), "-f", str(r1), "-f2", str(r2),
+         "-o", str(ours), "-silent"]
+    ) == 0
+    ref = HUGE / "ref.sam"
+    if not ref.exists():
+        subprocess.run(
+            [str(REFBUILD / "bin" / "kart"), "-t", "1", "-i", str(HUGE / "refidx"),
+             "-f", str(r1), "-f2", str(r2), "-o", str(ref)],
+            check=True, capture_output=True,
+        )
+
+    def records(p):
+        return [ln for ln in p.read_text().splitlines() if not ln.startswith("@")]
+
+    assert records(ours) == records(ref)

@@ -59,3 +59,34 @@ def test_nw_kernel_empty_batch():
     from kart_tpu.ops.nw import nw_align_batch
 
     assert nw_align_batch([]) == []
+
+
+def test_nw_wavefront_tiles_match_host():
+    """64/128 wavefront tiles (PacBio conquer fragment sizes) bit-match the
+    host DP, including coverage accounting."""
+    from kart_tpu.ops.nw import nw_align_batch, nw_stats
+
+    rng = np.random.default_rng(13)
+    pairs = random_pairs(48, rng, max_len=64)
+    pairs += random_pairs(24, rng, max_len=128)
+    pairs += [(b"A" * 64, b"A" * 33), (b"ACGT" * 32, b"ACGT" * 16)]
+    before = dict(nw_stats)
+    got = nw_align_batch(pairs)
+    assert nw_stats["device"] - before["device"] == len(pairs)
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == nw_alignment(a, b), (k, len(a), len(b))
+
+
+def test_nw_beyond_tiles_host_fallback():
+    from kart_tpu.ops.nw import nw_align_batch, nw_stats
+
+    rng = np.random.default_rng(17)
+    pairs = random_pairs(4, rng, max_len=200)
+    pairs = [p for p in pairs if max(len(p[0]), len(p[1])) > 128] or [
+        (b"ACGT" * 40, b"ACGT" * 35)
+    ]
+    before = dict(nw_stats)
+    got = nw_align_batch(pairs)
+    assert nw_stats["host"] - before["host"] == len(pairs)
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == nw_alignment(a, b)

@@ -37,8 +37,8 @@ def test_sharded_occ4_matches_replicated(tiny_gidx, fm_repl):
     mesh = Mesh(np.array(jax.devices("cpu")[:n_idx]), ("idx",))
     sfm_host, geom = build_sharded_fm(tiny_gidx, n_idx)
     sfm = jax.tree.map(jnp.asarray, sfm_host)
-    sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx", None)))
-    sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx", None)))
+    sfm.occ_cp = jax.device_put(sfm.occ_cp, NamedSharding(mesh, P("idx")))
+    sfm.bwt_words = jax.device_put(sfm.bwt_words, NamedSharding(mesh, P("idx")))
     sfm.sa_full = jax.device_put(sfm.sa_full, NamedSharding(mesh, P("idx")))
 
     rng = np.random.default_rng(0)
