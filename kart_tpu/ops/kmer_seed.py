@@ -194,6 +194,14 @@ def _distance_tables(amb, l_max):
     return jnp.stack(cols_a[::-1], axis=1), jnp.stack(cols_b[::-1], axis=1)
 
 
+# rows per device slab: the per-round (slab, hit_cap, l_max) text-window
+# gather + compare intermediates are the scan's HBM high-water mark, and
+# one giant gather (32k x 128 x 160 observed) faults the TPU runtime —
+# larger fused dispatch groups are lax.map'ed over slabs of this size
+# inside ONE jit call, keeping the relay-dispatch amortization.
+_SLAB_ROWS = 4096
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len")
 )
@@ -212,12 +220,54 @@ def kmer_seed_scan(
     rounds,
     seq_len,
 ):
-    """Direct-lookup FastMode seeding.
+    """Direct-lookup FastMode seeding (slab-batched over _SLAB_ROWS).
 
     reads: (B, l_max) int32 codes padded with 4.  Returns the seed_scan
     schema — (B, max_seeds) rpos/slen/k0/freq + (B,) n_seeds — where k0
     is the SA row of the first maximal occurrence, plus (B,) bool `ok`.
     """
+    B = reads.shape[0]
+    if B <= _SLAB_ROWS:
+        return _kmer_seed_scan_slab(
+            table_lo, text, sa_full, bitmaps, reads, rlens, min_seed_len,
+            max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
+            seq_len=seq_len,
+        )
+    ns = -(-B // _SLAB_ROWS)
+    pad = ns * _SLAB_ROWS - B
+    if pad:
+        reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
+        rlens = jnp.pad(rlens, (0, pad))
+    out = jax.lax.map(
+        lambda rr: _kmer_seed_scan_slab(
+            table_lo, text, sa_full, bitmaps, rr[0], rr[1], min_seed_len,
+            max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
+            seq_len=seq_len,
+        ),
+        (
+            reads.reshape(ns, _SLAB_ROWS, l_max),
+            rlens.reshape(ns, _SLAB_ROWS),
+        ),
+    )
+    return out.reshape(ns * _SLAB_ROWS, -1)[:B]
+
+
+def _kmer_seed_scan_slab(
+    table_lo,
+    text,
+    sa_full,
+    bitmaps,
+    reads,
+    rlens,
+    min_seed_len,
+    *,
+    max_seeds,
+    l_max,
+    hit_cap,
+    rounds,
+    seq_len,
+):
+    """One slab of the direct-lookup scan (see kmer_seed_scan)."""
     B = reads.shape[0]
     bidx = jnp.arange(B)
     last_valid = seq_len - K

@@ -649,31 +649,65 @@ class KartMapper:
         # + the chunk under prefetch must all stay alive
         reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio,
                               n_bufs=2 * G + 2)
+        device_ok = True  # cleared if the relay/worker dies mid-stream
         prev = None
         try:
             while True:
                 group = self._read_group(reader, G)
                 cur = None
-                if group:
+                if group and device_ok:
                     reads_i8, rl, l_max = self._encode_group(group, l_buckets, b_buckets)
                     kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
                     cur = (group, kind, fut, ms, reads_i8, rl, l_max)
+                elif group:
+                    cur = (group, None, None, 0, None, None, 0)
                 if prev is not None:
                     group0, kind0, fut0, ms0, ri0, rl0, lm0 = prev
-                    n_tot = sum(n for n, _ in group0)
-                    packed = self._finalize_seed(kind0, fut0, n_tot, ms0, ri0, rl0, lm0)
-                    row = 0
-                    for n0, ptrs0 in group0:
-                        if progress is not None:
-                            progress(self.stats["total"])
-                        writer(
-                            self.native.process_chunk_packed(
-                                n0, pair_end and n0 % 2 == 0 and not self.pacbio,
-                                fastq, ptrs0, packed[row : row + n0], ms0, self.stats,
+                    packed = None
+                    if kind0 is not None:
+                        n_tot = sum(n for n, _ in group0)
+                        try:
+                            packed = self._finalize_seed(
+                                kind0, fut0, n_tot, ms0, ri0, rl0, lm0
                             )
-                        )
-                        self.stats["total"] += n0
-                        row += n0
+                        except Exception:
+                            # the TPU worker / axon relay died mid-stream: a
+                            # mapper must not lose the run over it.  The kmer
+                            # seed tables back the native engine too, so the
+                            # remaining groups flow through the all-native
+                            # pipeline (exact same SAM output).
+                            if not self._native_seeding_ready():
+                                raise
+                            device_ok = False
+                            if cur is not None:
+                                cur = (cur[0], None, None, 0, None, None, 0)
+                    if packed is not None:
+                        row = 0
+                        for n0, ptrs0 in group0:
+                            if progress is not None:
+                                progress(self.stats["total"])
+                            writer(
+                                self.native.process_chunk_packed(
+                                    n0, pair_end and n0 % 2 == 0 and not self.pacbio,
+                                    fastq, ptrs0, packed[row : row + n0], ms0, self.stats,
+                                )
+                            )
+                            self.stats["total"] += n0
+                            row += n0
+                    else:
+                        if not self._native_seeding_ready():
+                            raise RuntimeError(
+                                "device seeding unavailable and no native fallback"
+                            )
+                        for n0, ptrs0 in group0:
+                            if progress is not None:
+                                progress(self.stats["total"])
+                            writer(
+                                self.native.process_chunk_ptrs(
+                                    n0, pair_end, fastq, ptrs0, self.stats
+                                )
+                            )
+                            self.stats["total"] += n0
                 prev = cur
                 if not group:
                     break
