@@ -273,7 +273,7 @@ class KartMapper:
             packed = np.asarray(
                 kmer_seed_scan(
                     tb.table_lo,
-                    tb.text,
+                    tb.text_words,
                     tb.sa_full,
                     tb.bitmaps,
                     reads,
@@ -548,7 +548,7 @@ class KartMapper:
         if tb is not None:
             hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
             fut = kmer_seed_scan_packed(
-                tb.table_lo, tb.text, tb.sa_full, tb.bitmaps,
+                tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
                 words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max,
                 hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,
