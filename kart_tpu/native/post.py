@@ -329,6 +329,48 @@ class NativePostProcessor:
             rlens[row:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
 
+    def process_chunk_flat(self, n, pair_end, fastq, ptrs, cnt, rpos, slen, gpos, stats):
+        """Chunk mapping from NativeReader buffers with DEVICE-RESOLVED flat
+        seeds (per-read counts + per-occurrence rpos/len/text-position, the
+        ops/resolve.py layout).  No SA access happens natively — the device
+        already resolved every occurrence.  Returns SAM text."""
+        seq, seq_off, qual, qual_off, headers, header_off = ptrs
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        cnt = np.ascontiguousarray(cnt, dtype=np.int32)
+        rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+        slen = np.ascontiguousarray(slen, dtype=np.int32)
+        gpos = np.ascontiguousarray(gpos, dtype=np.int64)
+        st = np.array(
+            [stats["paired"], stats["distance"], stats["unique"], stats["unmapped"]],
+            dtype=np.int64,
+        )
+        out = ctypes.c_char_p()
+        size = self.lib.kart_process_chunk(
+            self.ctx,
+            ctypes.c_int32(n),
+            ctypes.c_int32(1 if pair_end else 0),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.cast(seq, i8p),
+            ctypes.cast(seq_off, i64p),
+            ctypes.cast(qual, i8p),
+            ctypes.cast(qual_off, i64p) if qual.value else ctypes.cast(None, i64p),
+            ctypes.cast(headers, ctypes.c_char_p),
+            ctypes.cast(header_off, i64p),
+            _i32p(cnt),
+            _i32p(rpos),
+            _i32p(slen),
+            _i64p(gpos),
+            _i64p(st),
+            ctypes.byref(out),
+        )
+        sam = ctypes.string_at(out, size)  # bytes; buffer is ctx-owned
+        stats["paired"] = int(st[0])
+        stats["distance"] = int(st[1])
+        stats["unique"] = int(st[2])
+        stats["unmapped"] = int(st[3])
+        return sam
+
     def process_chunk_packed(self, n, pair_end, fastq, ptrs, packed, max_seeds, stats):
         """Chunk mapping from NativeReader buffers with DEVICE-produced
         packed seeds (seed_scan layout, (>=n, 1+4*max_seeds) int32);

@@ -321,7 +321,11 @@ def _kmer_seed_scan_slab(
     # elements than the dense (B, hit_cap, l_max) layout, which was
     # DMA-bound at ~4.4 ms/read on TPU v5e.
     H = _HIT_BUDGET * B
-    W = 13  # gathered words per window; W-1 aligned words = 192 bases
+    # gathered words per window, derived from l_max so the funnel compare
+    # covers the FULL possible extension: W-1 aligned words = (W-1)*16
+    # bases >= l_max (ADVICE r3: a fixed W=13 saturated the LCP at 192
+    # bases, silently truncating exact matches on reads longer than that)
+    W = (l_max + 15) // 16 + 2
     warange = jnp.arange(W, dtype=jnp.int32)
     shifts16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     nwr = (l_max + 15) // 16 + W + 1
@@ -394,7 +398,10 @@ def _kmer_seed_scan_slab(
         xw = xor[jhit, fw]
         ctz = jax.lax.population_count((xw & (jnp.uint32(0) - xw)) - jnp.uint32(1))
         lcp_h = jnp.where(anym, fw * 16 + (ctz >> 1).astype(jnp.int32), (W - 1) * 16)
-        damb = amb_off[bidx, p_idx]  # read side: first amb base / read end
+        # read-side cap: first ambiguous base AND remaining read length —
+        # amb_off alone misses the read end when rlen == l_max (no pad-4
+        # sentinel), and the zero-padded read words would match 'A' text
+        damb = jnp.minimum(amb_off[bidx, p_idx], rlens - p)
         lcp_h = jnp.minimum(lcp_h, jnp.minimum(damb[lane_c], seq_len_i - locs_s))
         lcp_h = jnp.minimum(lcp_h, jnp.int32(l_max))
         lcp_h = jnp.where(genuine, lcp_h, -1)

@@ -101,3 +101,88 @@ def kmer_seed_scan_packed(table_lo, text_words, sa_full, bitmaps, words, amb_r,
         max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
         seq_len=seq_len,
     )
+
+
+# ---------------------------------------------------------------------------
+# Resolved entry points: scan + on-device occurrence expansion + SA
+# resolution + compaction (ops/resolve.py) in ONE jit.  d2h payload is
+# ~9 bytes/occurrence instead of ~200 bytes/read.
+# ---------------------------------------------------------------------------
+
+
+def _resolver(fm, mode: str):
+    from .resolve import sa_walk_rows
+
+    if mode == "full":
+        return lambda rows: (fm.sa_full[rows], rows == rows)
+    return lambda rows: sa_walk_rows(fm, rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_seeds", "l_max", "occ_budget", "sa_mode")
+)
+def seed_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p, rlens,
+                              min_seed_len, *, max_seeds, l_max, occ_budget,
+                              sa_mode="full"):
+    from .fm_search import unpack_seed_scan
+    from .resolve import expand_resolve
+
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    packed = seed_scan_impl(
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads, rlens,
+        min_seed_len, max_seeds=max_seeds, l_max=l_max,
+    )
+    out = unpack_seed_scan(packed, max_seeds)
+    ok = jnp.ones(reads.shape[0], bool)
+    return expand_resolve(
+        _resolver(fm, sa_mode), out["n_seeds"], out["rpos"], out["slen"],
+        out["k0"], out["freq"], ok, occ_budget=occ_budget,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_seeds", "l_max", "occ_budget", "sa_mode")
+)
+def sensitive_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p,
+                                   rlens, min_seed_len, *, max_seeds, l_max,
+                                   occ_budget, sa_mode="full"):
+    from .fm_search import unpack_seed_scan
+    from .resolve import expand_resolve
+
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    packed = sensitive_scan_impl(
+        _occ4_pair_replicated(fm), fm.L2, fm.primary, reads, rlens,
+        min_seed_len, max_seeds=max_seeds, l_max=l_max,
+    )
+    out = unpack_seed_scan(packed, max_seeds)
+    ok = jnp.ones(reads.shape[0], bool)
+    return expand_resolve(
+        _resolver(fm, sa_mode), out["n_seeds"], out["rpos"], out["slen"],
+        out["k0"], out["freq"], ok, occ_budget=occ_budget,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len",
+                     "occ_budget"),
+)
+def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, bitmaps,
+                                   words, amb_r, amb_p, rlens, min_seed_len,
+                                   *, max_seeds, l_max, hit_cap, rounds,
+                                   seq_len, occ_budget):
+    from .kmer_seed import kmer_seed_scan, unpack_seed_result
+    from .resolve import expand_resolve
+
+    reads = unpack_reads_device(words, amb_r, amb_p, l_max)
+    packed = kmer_seed_scan(
+        table_lo, text_words, sa_full, bitmaps, reads, rlens, min_seed_len,
+        max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
+        seq_len=seq_len,
+    )
+    out = unpack_seed_result(packed, max_seeds)
+    return expand_resolve(
+        lambda rows: (sa_full[rows], rows == rows),
+        out["n_seeds"], out["rpos"], out["slen"], out["k0"], out["freq"],
+        out["ok"], occ_budget=occ_budget,
+    )

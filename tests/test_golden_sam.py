@@ -174,6 +174,25 @@ def test_pacbio_device_pipelined(golden, monkeypatch):
     run_both(golden, args, args, "pb_devpipe")
 
 
+def test_paired_end_sampled_sa_frugal(golden, monkeypatch):
+    """KART_SA_MODE=sampled: the memory-frugal production resolver — no
+    full SA anywhere (no .saf, no kmer tables); occurrences resolve by
+    batched inverse-Psi walks over the intv-32 sampled SA on device
+    (reference semantics: src/BWT_Index/bwt.c:101-123).  SAM must be
+    bit-identical to the reference."""
+    monkeypatch.setenv("KART_SEED_MODE", "device")
+    monkeypatch.setenv("KART_SA_MODE", "sampled")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args, "pe_sampled")
+
+
+def test_pacbio_sampled_sa_frugal(golden, monkeypatch):
+    monkeypatch.setenv("KART_SEED_MODE", "device")
+    monkeypatch.setenv("KART_SA_MODE", "sampled")
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args, "pb_sampled")
+
+
 def test_paired_end_batched_device_nw(golden, monkeypatch):
     """Batched device conquer: per-chunk NW fragments collected and run as
     one Pallas NW batch, report pass replays from the memo."""
