@@ -57,8 +57,12 @@ def cluster_illumina(
         prev_pd = jnp.where(v, pd[:, t], prev_pd)
         return gend, prev_pd, started, cid, cluster_id
 
-    z = jnp.zeros(B, jnp.int32)
-    carry = (z, z, z < -1, z - 1, jnp.full((B, S), -1, jnp.int32))
+    # carries derive from the inputs so they inherit the device-varying
+    # type under shard_map (a literal zeros() carry is "unvarying" and
+    # rejected by the manual-axes check; cf. ops/fm_search.py)
+    z = n_seeds * 0
+    zb = jnp.full((B, S), -1, jnp.int32) + 0 * pd
+    carry = (z, z, z < -1, z - 1, zb)
     _, _, _, _, cluster_id = jax.lax.fori_loop(0, S, step, carry)
 
     # per-cluster scores (scatter-add; -1 ids dropped)
@@ -78,7 +82,7 @@ def cluster_illumina(
         return thr, accept
 
     thr, accept = jax.lax.fori_loop(
-        0, S, stepc, (thr0, jnp.zeros((B, S), bool))
+        0, S, stepc, (thr0, (pd < pd))
     )
     return cluster_id, accept, scores
 

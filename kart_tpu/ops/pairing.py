@@ -51,9 +51,11 @@ def pair_candidates(score1, pd1, score2, pd2, est):
         paired2 = paired2.at[ar, jnp.where(do, j, C2)].set(i, mode="drop")
         return paired1, paired2, pairing | do
 
-    paired1 = jnp.full((P, C1), -1, jnp.int32)
-    paired2 = jnp.full((P, C2), -1, jnp.int32)
-    pairing = jnp.zeros(P, bool)
+    # carries derive from the inputs: see ops/cluster.py (shard_map
+    # varying-manual-axes check)
+    paired1 = jnp.full((P, C1), -1, jnp.int32) + 0 * score1
+    paired2 = jnp.full((P, C2), -1, jnp.int32) + 0 * score2
+    pairing = score1[:, 0] < 0
     paired1, paired2, pairing = jax.lax.fori_loop(
         0, C1, step, (paired1, paired2, pairing)
     )

@@ -226,41 +226,46 @@ class KartMapper:
             sfm.L2 = jax.device_put(jnp.asarray(sfm.L2), repl)
             sfm.primary = jax.device_put(jnp.asarray(sfm.primary), repl)
             sfm.seq_len = jax.device_put(jnp.asarray(sfm.seq_len), repl)
-            self._sharded_state = (mesh, sfm, geom["nb_local"])
+            self._sharded_state = (mesh, sfm, geom["nb_local"], geom["ns_local"])
         return self._sharded_state
 
-    def _sharded_seed_packed(self, reads, rl, max_seeds: int, l_max: int) -> np.ndarray:
-        """FastMode seeding against the mesh-sharded index; same packed
-        layout as ops.fm_search.seed_scan."""
-        mesh, sfm, nb_local = self._get_sharded()
-        key = (max_seeds, l_max)
+    def _sharded_seed_resolved(self, reads, rl, max_seeds: int, l_max: int):
+        """FastMode seeding against the mesh-sharded index with ON-DEVICE
+        occurrence expansion + SA resolution (sharded_sa_gather psum): the
+        host full SA is never touched in -idx-shards mode.  Returns the
+        host (cnts, meta, gpos) resolved stream."""
+        mesh, sfm, nb_local, ns_local = self._get_sharded()
+        B = reads.shape[0]
+        budget = self._occ_budget(B, l_max)
+        key = (max_seeds, l_max, budget)
         fn = self._sharded_fns.get(key)
         if fn is None:
             import jax
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.dp import ShardedFMSpecs
-            from ..parallel.sharded_index import sharded_seed_scan
+            from ..parallel.sharded_index import sharded_seed_scan_resolved
 
             msl = np.int32(self.min_seed_len)
 
             def local(sfm_l, reads_l, rlens_l):
-                return sharded_seed_scan(
-                    sfm_l, nb_local, "idx", reads_l, rlens_l, msl,
-                    max_seeds=max_seeds, l_max=l_max,
+                return sharded_seed_scan_resolved(
+                    sfm_l, nb_local, ns_local, "idx", reads_l, rlens_l, msl,
+                    max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
                 )
 
             fn = jax.jit(
                 jax.shard_map(
                     local, mesh=mesh,
                     in_specs=(ShardedFMSpecs("idx"), P(), P()),
-                    out_specs=P(),
+                    out_specs=(P(), P(), P()),
                 )
             )
             self._sharded_fns[key] = fn
         import jax.numpy as jnp
 
-        return np.asarray(fn(sfm, jnp.asarray(reads), jnp.asarray(rl)))
+        cnts, meta, gpos = fn(sfm, jnp.asarray(reads), jnp.asarray(rl))
+        return np.asarray(cnts), np.asarray(meta), np.asarray(gpos)
 
     def _seed_batch_flat(self, enc_reads: list[np.ndarray]):
         """FastMode seeding for a batch of encoded reads -> flat arrays
@@ -305,14 +310,19 @@ class KartMapper:
         rl[:n] = rlens
         max_seeds = l_max // (self.min_seed_len + 1) + 1
         if self.idx_shards > 1:
-            packed = self._sharded_seed_packed(reads, rl, max_seeds, l_max)[:n]
-            out = unpack_seed_scan(packed, max_seeds)
-            n_seeds = out["n_seeds"]
-            rpos = out["rpos"]
-            slen = out["slen"]
-            k0 = out["k0"]
-            freq = out["freq"]
-            # falls through to the shared occurrence expansion below
+            # device-resolved stream: occurrences expand + resolve on the
+            # mesh (sharded_sa_gather); no host full-SA access
+            from ..ops.resolve import decode_resolved_counts
+
+            cnts, meta, gpos = self._sharded_seed_resolved(reads, rl, max_seeds, l_max)
+            ok, tot, offs = decode_resolved_counts(cnts)
+            overrides = {
+                int(i): self._reseed_host_flat(enc_reads[i])
+                for i in np.nonzero(~ok[:n])[0]
+            }
+            res = (tot, offs, (meta & 0xFFFF).astype(np.int32),
+                   (meta >> 16).astype(np.int32), gpos, overrides)
+            return self._chunk_flat(res, 0, n)
         elif (tb := self._get_kmer_tables()) is not None:
             from ..ops.kmer_seed import kmer_seed_scan
 
