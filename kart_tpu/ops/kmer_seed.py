@@ -199,17 +199,18 @@ def _bitmap_test(bitmap, idx):
 
 def _distance_tables(amb, l_max):
     """For each (read, p): distance to first ambiguous base at/after p and
-    distance to first NON-ambiguous base at/after p (both capped l_max)."""
-    B = amb.shape[0]
-    d_amb = jnp.full((B,), l_max, jnp.int32)
-    d_base = jnp.full((B,), l_max, jnp.int32)
-    cols_a, cols_b = [], []
-    for p in range(l_max - 1, -1, -1):
-        d_amb = jnp.where(amb[:, p], 0, jnp.minimum(d_amb + 1, l_max))
-        d_base = jnp.where(~amb[:, p], 0, jnp.minimum(d_base + 1, l_max))
-        cols_a.append(d_amb)
-        cols_b.append(d_base)
-    return jnp.stack(cols_a[::-1], axis=1), jnp.stack(cols_b[::-1], axis=1)
+    distance to first NON-ambiguous base at/after p (both capped l_max).
+
+    One reverse cummin per table: next_amb[p] = min_{q>=p, amb[q]} q, so the
+    distance is next_amb - p (capped) — replacing the former 2*l_max-step
+    unrolled scan (~320 sequential (B,) kernels per slab)."""
+    pos = jnp.arange(l_max, dtype=jnp.int32)[None, :]
+    big = jnp.int32(2 * l_max + 1)
+    next_amb = jax.lax.cummin(jnp.where(amb, pos, big), axis=1, reverse=True)
+    next_base = jax.lax.cummin(jnp.where(~amb, pos, big), axis=1, reverse=True)
+    d_amb = jnp.minimum(next_amb - pos, l_max)
+    d_base = jnp.minimum(next_base - pos, l_max)
+    return d_amb, d_base
 
 
 # rows per device slab: the per-round (slab, hit_cap, l_max) text-window

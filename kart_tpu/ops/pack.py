@@ -118,6 +118,28 @@ def _resolver(fm, mode: str):
     return lambda rows: sa_walk_rows(fm, rows)
 
 
+def _pack_stream(cnts, meta, gpos):
+    """Fuse the resolved stream into ONE d2h transfer when dtypes allow:
+    the relay charges a fixed ~30 ms per transfer, so (B,)+(H,)+(H,) as
+    three arrays costs two round trips more than one (B+2H,) array.
+    int64 (human-scale) gpos stays a separate transfer."""
+    if gpos.dtype == jnp.int32:
+        return jnp.concatenate([cnts, meta, gpos])
+    return (cnts, meta, gpos)
+
+
+def unpack_stream(packed, B: int, H: int):
+    """Host-side inverse of _pack_stream."""
+    if isinstance(packed, (tuple, list)):
+        import numpy as np
+
+        return tuple(np.asarray(x) for x in packed)
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return arr[:B], arr[B : B + H], arr[B + H :]
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_seeds", "l_max", "occ_budget", "sa_mode")
 )
@@ -134,10 +156,10 @@ def seed_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p, rlens,
     )
     out = unpack_seed_scan(packed, max_seeds)
     ok = jnp.ones(reads.shape[0], bool)
-    return expand_resolve(
+    return _pack_stream(*expand_resolve(
         _resolver(fm, sa_mode), out["n_seeds"], out["rpos"], out["slen"],
         out["k0"], out["freq"], ok, occ_budget=occ_budget,
-    )
+    ))
 
 
 @functools.partial(
@@ -156,10 +178,10 @@ def sensitive_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p,
     )
     out = unpack_seed_scan(packed, max_seeds)
     ok = jnp.ones(reads.shape[0], bool)
-    return expand_resolve(
+    return _pack_stream(*expand_resolve(
         _resolver(fm, sa_mode), out["n_seeds"], out["rpos"], out["slen"],
         out["k0"], out["freq"], ok, occ_budget=occ_budget,
-    )
+    ))
 
 
 @functools.partial(
@@ -181,8 +203,8 @@ def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, bitmaps,
         seq_len=seq_len,
     )
     out = unpack_seed_result(packed, max_seeds)
-    return expand_resolve(
+    return _pack_stream(*expand_resolve(
         lambda rows: (sa_full[rows], rows == rows),
         out["n_seeds"], out["rpos"], out["slen"], out["k0"], out["freq"],
         out["ok"], occ_budget=occ_budget,
-    )
+    ))

@@ -650,12 +650,11 @@ class KartMapper:
         """Materialize a dispatched resolved-seeding batch.  Returns
         (tot, offs, rpos, slen, gpos, overrides): flat per-occurrence
         arrays plus exact host re-seeds for flagged reads."""
+        from ..ops.pack import unpack_stream
         from ..ops.resolve import decode_resolved_counts
 
-        cnts, meta, gpos = futs
-        cnts = np.asarray(cnts)
-        meta = np.asarray(meta)
-        gpos = np.asarray(gpos)
+        B = reads_i8.shape[0]
+        cnts, meta, gpos = unpack_stream(futs, B, self._occ_budget(B, l_max))
         ok, tot, offs = decode_resolved_counts(cnts)
         rpos = (meta & 0xFFFF).astype(np.int32)
         slen = (meta >> 16).astype(np.int32)
