@@ -326,7 +326,10 @@ class KartMapper:
         elif (tb := self._get_kmer_tables()) is not None:
             from ..ops.kmer_seed import kmer_seed_scan
 
-            hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
+            hit_cap = int(max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1)))))
+            # covers max_mult (gate: <= 4096): the compacted-hit layout bounds
+            # per-round work by the H budget, not hit_cap, so capping at 128
+            # only manufactured overflow lanes (r4: 94/32k on the bench genome)
             rounds = l_max // 10 + 4
             from ..ops.kmer_seed import unpack_seed_result
 
@@ -620,7 +623,10 @@ class KartMapper:
         max_seeds = l_max // (self.min_seed_len + 1) + 1
         tb = self._get_kmer_tables()
         if tb is not None:
-            hit_cap = int(min(128, max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1))))))
+            hit_cap = int(max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1)))))
+            # covers max_mult (gate: <= 4096): the compacted-hit layout bounds
+            # per-round work by the H budget, not hit_cap, so capping at 128
+            # only manufactured overflow lanes (r4: 94/32k on the bench genome)
             futs = kmer_seed_scan_resolved_packed(
                 tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
                 words, amb_r, amb_p, rl_d, msl,
@@ -646,6 +652,61 @@ class KartMapper:
             return self._seed_sensitive_flat(enc)
         return identify_seed_pairs_fast(self.fm_ref, enc, self.min_seed_len)
 
+    def _reseed_device_flat(self, bad, reads_i8, rl, l_max) -> dict:
+        """Exact re-seed of flagged lanes as ONE small device dispatch
+        through the FM stepper (no hit_cap; generous occurrence budget).
+        The python host model is only the last-ditch fallback — at ~10 ms
+        a read it cannot sit on the per-group path (r4 regression: 94
+        flagged reads/group ran the host model and sank the device
+        pipeline 5x)."""
+        import jax.numpy as jnp
+
+        from ..ops.pack import (
+            pack_reads_2bit,
+            seed_scan_resolved_packed,
+            sensitive_scan_resolved_packed,
+            unpack_stream,
+        )
+        from ..ops.resolve import decode_resolved_counts
+
+        nb = len(bad)
+        Bb = _bucket(nb, _B_BUCKETS if not self.pacbio else _PB_B_BUCKETS)
+        reads_b = np.full((Bb, l_max), 4, dtype=np.int8)
+        reads_b[:nb] = reads_i8[bad]
+        rl_b = np.zeros(Bb, dtype=np.int32)
+        rl_b[:nb] = rl[bad]
+        words, ar, ap = pack_reads_2bit(reads_b)
+        budget = Bb * 64 if not self.pacbio else self._occ_budget(Bb, l_max)
+        msl = np.int32(self.min_seed_len)
+        sa_mode = "full" if self.sa_mode == "full" else "sampled"
+        fn = sensitive_scan_resolved_packed if self.pacbio else seed_scan_resolved_packed
+        max_seeds = (
+            l_max // self.min_seed_len + 2
+            if self.pacbio
+            else l_max // (self.min_seed_len + 1) + 1
+        )
+        futs = fn(
+            self.fm_dev, jnp.asarray(words), jnp.asarray(ar), jnp.asarray(ap),
+            jnp.asarray(rl_b), msl, max_seeds=max_seeds, l_max=l_max,
+            occ_budget=budget, sa_mode=sa_mode,
+        )
+        cnts, meta, gpos = unpack_stream(futs, Bb, budget)
+        ok, tot, offs = decode_resolved_counts(cnts)
+        out = {}
+        for j, i in enumerate(bad):
+            if ok[j]:
+                seg = slice(int(offs[j]), int(offs[j + 1]))
+                m, g = meta[seg], gpos[seg]
+                out[int(i)] = [
+                    (int(mm & 0xFFFF), int(mm >> 16), int(gg))
+                    for mm, gg in zip(m, g)
+                ]
+            else:  # budget overflow even in the re-seed batch: host model
+                out[int(i)] = self._reseed_host_flat(
+                    reads_i8[i, : rl[i]].astype(np.int32)
+                )
+        return out
+
     def _finalize_seed(self, kind, futs, n, max_seeds, reads_i8, rl, l_max):
         """Materialize a dispatched resolved-seeding batch.  Returns
         (tot, offs, rpos, slen, gpos, overrides): flat per-occurrence
@@ -660,9 +721,8 @@ class KartMapper:
         slen = (meta >> 16).astype(np.int32)
         overrides = {}
         if not ok[:n].all():
-            for i in np.nonzero(~ok[:n])[0]:
-                enc = reads_i8[i, : rl[i]].astype(np.int32)
-                overrides[int(i)] = self._reseed_host_flat(enc)
+            bad = np.nonzero(~ok[:n])[0]
+            overrides = self._reseed_device_flat(bad, reads_i8, rl, l_max)
         return (tot, offs, rpos, slen, gpos, overrides)
 
     @staticmethod

@@ -2,10 +2,11 @@
 
 The genome is 1.1 Gbp over two chromosomes (2x text = 2.2e9 > 2^31), the
 scale gate the reference clears with its 64-bit index types
-(src/BWT_Index/bwt.h:41 bwtint_t = uint64).  Builds take ~25 min per
-indexer and ~20 GB disk, so this is gated on KART_HUGE_TESTS=1; assets are
-created by tools/make_huge_genome.py + both indexers (see the module body)
-and validated every round (PARITY.md "Large-genome validation")."""
+(src/BWT_Index/bwt.h:41 bwtint_t = uint64).  Builds take ~35-75 min per
+indexer and ~40 GB disk, so this is gated on KART_HUGE_TESTS=1; assets are
+created by tools/make_huge_genome.py + both indexers (see the module body).
+Last full run: round 4, 2026-08-21, 2 passed in 5600 s — results recorded
+in PARITY.md "Large-genome validation"."""
 
 import os
 import subprocess
