@@ -36,7 +36,7 @@ BASELINE_REF_READS_PER_SEC = 118022.0
 GENOME_LEN = 4_639_680
 N_PAIRS = 100_000
 READ_LEN = 150
-N_PASSES = 5  # report the median
+N_PASSES = 7  # report the median (robust to 2-3 vCPU-steal-degraded passes)
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
@@ -243,12 +243,13 @@ def measure_reference_pacbio(prefix, pb):
     return statistics.median(rates)
 
 
-def measure_reference(prefix, r1, r2):
-    """Median reads/s of the reference binary at -t 16 in THIS measurement
-    window (the host's shared vCPUs drift 2x over hours; a same-window
-    denominator keeps the ratio honest).  Returns None when the reference
-    oracle build is absent."""
-    import statistics as stats
+def make_reference_runner(prefix, r1, r2):
+    """Returns a zero-arg callable measuring ONE reference `-t 16` pass
+    (reads/s, startup excluded), or None when the oracle build is absent.
+    Exposed this way so the headline loop can INTERLEAVE our passes with
+    reference passes: the host's shared vCPUs drift ~2x over tens of
+    minutes, so a per-pair ratio median cancels the drift that separate
+    measurement windows do not."""
     import subprocess
 
     kart = os.path.join(REPO, ".refbuild", "bin", "kart")
@@ -270,11 +271,12 @@ def measure_reference(prefix, r1, r2):
 
     run(one1, one2)  # warm the page cache
     startup = min(run(one1, one2) for _ in range(2))
-    rates = []
-    for _ in range(3):
+
+    def one_pass():
         dt = run(r1, r2) - startup
-        rates.append(2 * N_PAIRS / max(dt, 0.001))
-    return stats.median(rates)
+        return 2 * N_PAIRS / max(dt, 0.001)
+
+    return one_pass
 
 
 def main():
@@ -307,14 +309,33 @@ def main():
         try:
             dev_mapper = KartMapper(gidx)
             dev_mapper.map_stream(w1, w2, True, True, lambda s: None)
-            dev_median, dev_rates = measure(dev_mapper, r1, r2, 3, expect=2 * N_PAIRS)
+            dev_mapper.map_stream(r1, r2, True, True, lambda s: None)  # prime
+            ref_pass = make_reference_runner(prefix, r1, r2)
+            dev_rates, dev_ratios = [], []
+            for _ in range(4):
+                total0 = dev_mapper.stats["total"]
+                t0 = time.time()
+                dev_mapper.map_stream(r1, r2, True, True, lambda s: None)
+                dt = time.time() - t0
+                n_reads = dev_mapper.stats["total"] - total0
+                assert n_reads == 2 * N_PAIRS, n_reads
+                dev_rates.append(n_reads / dt)
+                if ref_pass is not None:
+                    dev_ratios.append(dev_rates[-1] / ref_pass())
+            dev_median = statistics.median(dev_rates)
+            vs = (
+                statistics.median(dev_ratios)
+                if dev_ratios
+                else dev_median / BASELINE_REF_READS_PER_SEC
+            )
             print(json.dumps({
                 "metric": "illumina_pe_reads_per_sec_device_pipelined",
                 "value": round(dev_median, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(dev_median / BASELINE_REF_READS_PER_SEC, 4),
+                "vs_baseline": round(vs, 4),
                 "spread": [round(min(dev_rates), 1), round(max(dev_rates), 1)],
-                "note": "TPU-resident seeding pipeline through the axon relay",
+                "note": "TPU-resident seeding+resolution pipeline through the axon "
+                        "relay; vs same-window interleaved reference -t16",
             }))
         except Exception as e:  # chip unreachable: keep the headline line alive
             print(json.dumps({
@@ -353,19 +374,48 @@ def main():
                 "note": f"pacbio bench unavailable: {type(e).__name__}: {e}",
             }))
 
-    median, rates = measure(mapper, r1, r2, N_PASSES, expect=2 * N_PAIRS)
-    # same-window reference measurement when the oracle build is present;
-    # otherwise the recorded-window constant (BASELINE.md)
-    ref = measure_reference(prefix, r1, r2)
-    denom = ref if ref else BASELINE_REF_READS_PER_SEC
+    # headline: our passes INTERLEAVED with reference passes, median of
+    # per-pair ratios (cancels the host's slow vCPU drift that separate
+    # measurement windows do not)
+    ref_pass = make_reference_runner(prefix, r1, r2)
+    mapper.map_stream(r1, r2, True, True, lambda s: None)  # prime
+    rates, ratios, refs = [], [], []
+    for _ in range(N_PASSES):
+        total0 = mapper.stats["total"]
+        out_chars = 0
+
+        def writer(s):
+            nonlocal out_chars
+            out_chars += len(s)
+
+        t0 = time.time()
+        mapper.map_stream(r1, r2, True, True, writer)
+        dt = time.time() - t0
+        n_reads = mapper.stats["total"] - total0
+        assert out_chars > 0 and n_reads == 2 * N_PAIRS, (out_chars, n_reads)
+        ours = n_reads / dt
+        rates.append(ours)
+        if ref_pass is not None:
+            r = ref_pass()
+            refs.append(r)
+            ratios.append(ours / r)
+    median = statistics.median(rates)
+    if ratios:
+        vs = statistics.median(ratios)
+        denom = statistics.median(refs)
+        src = "same-window interleaved reference -t16 (median of per-pair ratios)"
+    else:
+        vs = median / BASELINE_REF_READS_PER_SEC
+        denom = BASELINE_REF_READS_PER_SEC
+        src = "recorded 2026-08-20"
     result = {
         "metric": "illumina_pe_reads_per_sec_per_chip",
         "value": round(median, 1),
         "unit": "reads/s",
-        "vs_baseline": round(median / denom, 4),
+        "vs_baseline": round(vs, 4),
         "spread": [round(min(rates), 1), round(max(rates), 1)],
         "baseline_reads_per_sec": round(denom, 1),
-        "baseline_source": "same-window reference -t16" if ref else "recorded 2026-08-20",
+        "baseline_source": src,
     }
     print(json.dumps(result))
 

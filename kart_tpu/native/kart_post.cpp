@@ -166,8 +166,18 @@ struct SeedTables {
   std::vector<int> bitmap_ks;
   int64_t seq_len = 0;
   std::vector<int8_t> ref_codes;  // 2L codes 0..3 (derived from ref_seq)
+  // padded 13-mer ids of the <=13 sub-13 tail suffixes (sorted): intervals
+  // containing one of these "bogus" rows must use the linear extension
+  // scan (the rows' table ids don't reflect real 13-mers)
+  std::vector<uint32_t> bogus_km;
   bool ready = false;
 };
+
+static inline bool km_is_bogus(const SeedTables& st, uint32_t km) {
+  for (uint32_t b : st.bogus_km)
+    if (b == km) return true;
+  return false;
+}
 
 struct Ctx {
   const uint8_t* ref_seq;  // ASCII fwd+rc text, length two_genome_size
@@ -201,6 +211,42 @@ static inline bool bitmap_has(const uint32_t* bm, uint32_t idx) {
   return (bm[idx >> 5] >> (idx & 31)) & 1u;
 }
 
+// Bulk ASCII -> 2-bit-code encode (the per-chunk arena encode is ~10% of
+// the seeding stage at 1 byte/cycle).  SIMD path: low-nibble shuffle gives
+// the candidate code, a second shuffle reconstructs the expected uppercase
+// letter to validate it (so 'Q' (nibble 1) does not alias 'A'); non-ACGT
+// falls back to 4, '-' to 5 — byte-for-byte identical to the NT4 table.
+#if defined(__SSE4_1__) && defined(__SSSE3__)
+#include <smmintrin.h>
+static inline void encode_bulk(const uint8_t* src, int8_t* dst, int64_t n) {
+  const __m128i code_tbl =
+      _mm_setr_epi8(4, 0, 4, 1, 3, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4);
+  const __m128i chr_tbl =
+      _mm_setr_epi8(0, 'A', 0, 'C', 'T', 0, 0, 'G', 0, 0, 0, 0, 0, 0, 0, 0);
+  const __m128i mask_low = _mm_set1_epi8(0x0F);
+  const __m128i upper = _mm_set1_epi8((char)0xDF);
+  const __m128i dash = _mm_set1_epi8('-');
+  const __m128i five = _mm_set1_epi8(5);
+  const __m128i four = _mm_set1_epi8(4);
+  int64_t i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m128i v = _mm_loadu_si128((const __m128i*)(src + i));
+    __m128i nib = _mm_and_si128(v, mask_low);
+    __m128i code = _mm_shuffle_epi8(code_tbl, nib);
+    __m128i expect = _mm_shuffle_epi8(chr_tbl, nib);
+    __m128i isacgt = _mm_cmpeq_epi8(_mm_and_si128(v, upper), expect);
+    __m128i r = _mm_blendv_epi8(four, code, isacgt);
+    r = _mm_blendv_epi8(r, five, _mm_cmpeq_epi8(v, dash));
+    _mm_storeu_si128((__m128i*)(dst + i), r);
+  }
+  for (; i < n; i++) dst[i] = (int8_t)NT4[src[i]];
+}
+#else
+static inline void encode_bulk(const uint8_t* src, int8_t* dst, int64_t n) {
+  for (int64_t i = 0; i < n; i++) dst[i] = (int8_t)NT4[src[i]];
+}
+#endif
+
 #if defined(__BMI2__)
 #include <immintrin.h>
 // Extract the 13-mer id from 13 unambiguous codes in one shot: two
@@ -221,6 +267,94 @@ static inline bool km13_fast(const int8_t* enc, uint32_t& km) {
 #else
 static inline bool km13_fast(const int8_t*, uint32_t&) { return false; }
 #endif
+
+// Compare the read remainder (r, rrem) against the text suffix (t, trem),
+// both already offset past the shared 13-mer.  Returns +1 when read >
+// suffix, -1 when read < suffix, 0 when the read is exhausted first or
+// both end together (suffix-sort order: a string that is a prefix of
+// another sorts FIRST).  *lcp_out gets the common-prefix length capped at
+// min(rrem, trem) — exactly the maximal-extension length contribution.
+static inline int suffix_cmp(const int8_t* r, int rrem, const int8_t* t,
+                             int64_t trem, int* lcp_out) {
+  int m = trem < rrem ? (int)trem : rrem;
+  int l = lcp_bytes(r, t, m);
+  if (lcp_out) *lcp_out = l;
+  if (l < m) return r[l] < t[l] ? -1 : 1;
+  if (m < rrem) return 1;  // suffix exhausted first => suffix sorts before
+  return 0;
+}
+
+// Maximal-extension block of a big SA interval by BINARY SEARCH instead of
+// the linear per-row scan: suffixes in [lo, hi) are sorted, so the rows
+// achieving the maximal LCP with the read are the neighbors of the read's
+// insertion point, and the full maximizer block is contiguous — 3 log(cnt)
+// capped compares instead of cnt (a 500-copy repeat family interval costs
+// ~27 cache-missing compares instead of ~300).  Caller must ensure no
+// bogus (sub-13 tail) row is in the interval.  Output: best = extension
+// length beyond the 13-mer, [blo, bhi) = maximizer rows in SA order —
+// byte-identical semantics to the linear scan.
+static void ext_interval_bin(const SeedTables& st, const int8_t* renc13,
+                             int rrem, const int8_t* text, int32_t lo,
+                             int32_t hi, int64_t seq_len, int& best,
+                             int32_t& blo, int32_t& bhi) {
+  auto tptr = [&](int32_t row, int64_t& trem) {
+    int64_t loc = st.sa_full[row];
+    trem = seq_len - loc - SEED_K;
+    return text + loc + SEED_K;
+  };
+  int32_t a = lo, b = hi;  // insertion point: first row with read <= suffix
+  while (a < b) {
+    int32_t mid = a + ((b - a) >> 1);
+    int64_t trem;
+    const int8_t* t = tptr(mid, trem);
+    if (suffix_cmp(renc13, rrem, t, trem, nullptr) > 0)
+      a = mid + 1;
+    else
+      b = mid;
+  }
+  best = 0;
+  for (int32_t row : {a, a - 1}) {
+    if (row < lo || row >= hi) continue;
+    int64_t trem;
+    const int8_t* t = tptr(row, trem);
+    int l;
+    suffix_cmp(renc13, rrem, t, trem, &l);
+    if (l > best) best = l;
+  }
+  // maximizer block: rows whose suffix starts with read[0..best)
+  auto pcmp = [&](int32_t row) {  // -1 suffix<key, 0 match, +1 suffix>key
+    int64_t trem;
+    const int8_t* t = tptr(row, trem);
+    int m = trem < best ? (int)trem : best;
+    int l = lcp_bytes(renc13, t, m);
+    if (l < m) return t[l] < renc13[l] ? -1 : 1;
+    if (m < best) return -1;  // shorter suffix sorts first
+    return 0;
+  };
+  a = lo;
+  b = hi;
+  while (a < b) {
+    int32_t mid = a + ((b - a) >> 1);
+    if (pcmp(mid) < 0)
+      a = mid + 1;
+    else
+      b = mid;
+  }
+  blo = a;
+  b = hi;
+  while (a < b) {
+    int32_t mid = a + ((b - a) >> 1);
+    if (pcmp(mid) <= 0)
+      a = mid + 1;
+    else
+      b = mid;
+  }
+  bhi = a;
+}
+
+// linear-scan threshold: below this the per-row scan with its prefetch
+// pipeline wins; above it the binary block search does
+static const int32_t EXT_BIN_THR = 48;
 
 // Capped maximal extension at `pos` with window end `stop` (BWT_Search's
 // [start, stop) semantics): returns length and appends the occurrences of
@@ -251,30 +385,44 @@ static int extend_at(const Ctx& ctx, const int8_t* enc, int rlen, int pos, int s
     int32_t lo = st.table_lo[km];
     int32_t hi = st.table_lo[km + 1];
     int best = -1;
+    int64_t freq = 0;
     thread_local std::vector<int64_t> max_locs;
     max_locs.clear();
     int l_cap = stop - pos;
-    for (int32_t row = lo; row < hi; row++) {
-      if (row + 8 < hi) {
-        int64_t nloc = st.sa_full[row + 8];
-        if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+    if (hi - lo > EXT_BIN_THR && !km_is_bogus(st, km)) {
+      int ebest;
+      int32_t blo, bhi;
+      ext_interval_bin(st, enc + pos + SEED_K, l_cap - SEED_K, text, lo, hi,
+                       st.seq_len, ebest, blo, bhi);
+      best = SEED_K + ebest;
+      freq = bhi - blo;
+      if (freq <= SEED_OCC_THR)
+        for (int32_t row = blo; row < bhi; row++)
+          max_locs.push_back(st.sa_full[row]);
+    } else {
+      for (int32_t row = lo; row < hi; row++) {
+        if (row + 8 < hi) {
+          int64_t nloc = st.sa_full[row + 8];
+          if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+        }
+        int64_t loc = st.sa_full[row];
+        if (loc > last_valid) continue;
+        int maxl = l_cap;
+        if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+        // interval rows share the window's 13-mer prefix; maxl >= SEED_K here
+        int l = SEED_K + lcp_bytes(enc + pos + SEED_K, text + loc + SEED_K,
+                                   maxl - SEED_K);
+        if (l > best) {
+          best = l;
+          max_locs.clear();
+          max_locs.push_back(loc);
+        } else if (l == best)
+          max_locs.push_back(loc);
       }
-      int64_t loc = st.sa_full[row];
-      if (loc > last_valid) continue;
-      int maxl = l_cap;
-      if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-      // interval rows share the window's 13-mer prefix; maxl >= SEED_K here
-      int l = SEED_K + lcp_bytes(enc + pos + SEED_K, text + loc + SEED_K,
-                                 maxl - SEED_K);
-      if (l > best) {
-        best = l;
-        max_locs.clear();
-        max_locs.push_back(loc);
-      } else if (l == best)
-        max_locs.push_back(loc);
+      freq = (int64_t)max_locs.size();
     }
     if (best >= SEED_K) {
-      if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR) {
+      if (best >= min_seed && freq <= SEED_OCC_THR) {
         emitted = true;
         for (int64_t loc : max_locs) out.push_back({pos, best, loc});
       }
@@ -302,7 +450,7 @@ static void seed_read_sensitive(const Ctx& ctx, const uint8_t* seq, int rlen,
   out.clear();
   thread_local std::vector<int8_t> enc;
   enc.resize(rlen);
-  for (int i = 0; i < rlen; i++) enc[i] = (int8_t)NT4[seq[i]];
+  encode_bulk(seq, enc.data(), rlen);
   int pos = 0, stop_pos = 30, end_pos = rlen - min_seed;
   while (pos < end_pos) {
     if (enc[pos] > 3) {
@@ -339,7 +487,7 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
   // encode once
   thread_local std::vector<int8_t> enc;
   enc.resize(rlen);
-  for (int i = 0; i < rlen; i++) enc[i] = (int8_t)NT4[seq[i]];
+  encode_bulk(seq, enc.data(), rlen);
 
   thread_local std::vector<int64_t> max_locs;
   int pos = 0;
@@ -367,28 +515,42 @@ static void seed_read_direct(const Ctx& ctx, const uint8_t* seq, int rlen,
       int32_t lo = st.table_lo[km];
       int32_t hi = st.table_lo[km + 1];
       int best = -1;
+      int64_t freq = 0;
       max_locs.clear();
-      for (int32_t row = lo; row < hi; row++) {
-        if (row + 8 < hi) {
-          int64_t nloc = st.sa_full[row + 8];
-          if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+      if (hi - lo > EXT_BIN_THR && !km_is_bogus(st, km)) {
+        int ebest;
+        int32_t blo, bhi;
+        ext_interval_bin(st, enc.data() + pos + SEED_K, (rlen - pos) - SEED_K,
+                         text, lo, hi, st.seq_len, ebest, blo, bhi);
+        best = SEED_K + ebest;
+        freq = bhi - blo;
+        if (freq <= SEED_OCC_THR)
+          for (int32_t row = blo; row < bhi; row++)
+            max_locs.push_back(st.sa_full[row]);
+      } else {
+        for (int32_t row = lo; row < hi; row++) {
+          if (row + 8 < hi) {
+            int64_t nloc = st.sa_full[row + 8];
+            if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+          }
+          int64_t loc = st.sa_full[row];
+          if (loc > last_valid) continue;  // bogus short-suffix entry
+          int maxl = rlen - pos;
+          if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+          // interval rows share the 13-mer prefix; maxl >= SEED_K here
+          int l = SEED_K + lcp_bytes(enc.data() + pos + SEED_K, text + loc + SEED_K,
+                                     maxl - SEED_K);
+          if (l > best) {
+            best = l;
+            max_locs.clear();
+            max_locs.push_back(loc);
+          } else if (l == best)
+            max_locs.push_back(loc);
         }
-        int64_t loc = st.sa_full[row];
-        if (loc > last_valid) continue;  // bogus short-suffix entry
-        int maxl = rlen - pos;
-        if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-        // interval rows share the 13-mer prefix; maxl >= SEED_K here
-        int l = SEED_K + lcp_bytes(enc.data() + pos + SEED_K, text + loc + SEED_K,
-                                   maxl - SEED_K);
-        if (l > best) {
-          best = l;
-          max_locs.clear();
-          max_locs.push_back(loc);
-        } else if (l == best)
-          max_locs.push_back(loc);
+        freq = (int64_t)max_locs.size();
       }
       if (best >= SEED_K) {
-        if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR)
+        if (best >= min_seed && freq <= SEED_OCC_THR)
           for (int64_t loc : max_locs) out.push_back({pos, best, loc});
         pos += best + 1;
         continue;
@@ -532,32 +694,49 @@ static void seed_reads_direct_batch(const Ctx& ctx, const int8_t* enc_arena,
         }
         case SeedMachine::EXT: {
           int best = -1;
+          int64_t freq = 0;
           max_locs.clear();
-          for (int32_t row = m.lo; row < m.hi; row++) {
-            // repeat-heavy kmers have hundreds of rows: stream-prefetch the
-            // extension point 8 rows ahead (sa_full itself is sequential)
-            if (row + 8 < m.hi) {
-              int64_t nloc = st.sa_full[row + 8];
-              if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+          if (m.hi - m.lo > EXT_BIN_THR && !km_is_bogus(st, m.km)) {
+            // big (repeat-family) interval: binary block search, 3 log(cnt)
+            // compares instead of cnt
+            int ebest;
+            int32_t blo, bhi;
+            ext_interval_bin(st, m.enc + m.pos + SEED_K,
+                             (m.rlen - m.pos) - SEED_K, text, m.lo, m.hi,
+                             st.seq_len, ebest, blo, bhi);
+            best = SEED_K + ebest;
+            freq = bhi - blo;
+            if (freq <= SEED_OCC_THR)
+              for (int32_t row = blo; row < bhi; row++)
+                max_locs.push_back(st.sa_full[row]);
+          } else {
+            for (int32_t row = m.lo; row < m.hi; row++) {
+              // stream-prefetch the extension point 8 rows ahead (sa_full
+              // itself is sequential)
+              if (row + 8 < m.hi) {
+                int64_t nloc = st.sa_full[row + 8];
+                if (nloc <= last_valid) __builtin_prefetch(&text[nloc + SEED_K], 0, 1);
+              }
+              int64_t loc = st.sa_full[row];
+              if (loc > last_valid) continue;
+              int maxl = m.rlen - m.pos;
+              if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
+              // every row in the interval starts with the same 13-mer as the
+              // read window (table construction + amb_off>13), so compare
+              // from offset SEED_K; maxl >= SEED_K always (see last_valid)
+              int l = SEED_K + lcp_bytes(m.enc + m.pos + SEED_K, text + loc + SEED_K,
+                                         maxl - SEED_K);
+              if (l > best) {
+                best = l;
+                max_locs.clear();
+                max_locs.push_back(loc);
+              } else if (l == best)
+                max_locs.push_back(loc);
             }
-            int64_t loc = st.sa_full[row];
-            if (loc > last_valid) continue;
-            int maxl = m.rlen - m.pos;
-            if (loc + maxl > st.seq_len) maxl = (int)(st.seq_len - loc);
-            // every row in the interval starts with the same 13-mer as the
-            // read window (table construction + amb_off>13), so compare
-            // from offset SEED_K; maxl >= SEED_K always (see last_valid)
-            int l = SEED_K + lcp_bytes(m.enc + m.pos + SEED_K, text + loc + SEED_K,
-                                       maxl - SEED_K);
-            if (l > best) {
-              best = l;
-              max_locs.clear();
-              max_locs.push_back(loc);
-            } else if (l == best)
-              max_locs.push_back(loc);
+            freq = (int64_t)max_locs.size();
           }
           if (best >= SEED_K) {
-            if (best >= min_seed && (int)max_locs.size() <= SEED_OCC_THR) {
+            if (best >= min_seed && freq <= SEED_OCC_THR) {
               auto& dst = out[m.read_idx];
               for (int64_t loc : max_locs)
                 dst.push_back({m.pos, best, loc});
@@ -2047,10 +2226,41 @@ struct OutStats {
   int64_t unique = 0, unmapped = 0, paired = 0, distance = 0;
 };
 
+#if defined(__SSE4_1__) && defined(__SSSE3__)
+// SIMD reverse-complement: byte-reverse shuffle + the same
+// nibble-map/validate scheme as encode_bulk ('A'<->'T', 'C'<->'G',
+// everything else 'N' — byte-for-byte identical to the COMP table).
+static void revcomp_into(const uint8_t* seq, int len, std::string& out) {
+  out.resize(len);
+  char* dst = &out[0];
+  const __m128i rev =
+      _mm_setr_epi8(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+  const __m128i comp_tbl = _mm_setr_epi8(  // low nibble -> complement char
+      'N', 'T', 'N', 'G', 'A', 'N', 'N', 'C', 'N', 'N', 'N', 'N', 'N', 'N',
+      'N', 'N');
+  const __m128i chr_tbl =
+      _mm_setr_epi8(0, 'A', 0, 'C', 'T', 0, 0, 'G', 0, 0, 0, 0, 0, 0, 0, 0);
+  const __m128i mask_low = _mm_set1_epi8(0x0F);
+  const __m128i upper = _mm_set1_epi8((char)0xDF);
+  const __m128i enn = _mm_set1_epi8('N');
+  int i = 0;
+  for (; i + 16 <= len; i += 16) {
+    __m128i v = _mm_loadu_si128((const __m128i*)(seq + len - i - 16));
+    v = _mm_shuffle_epi8(v, rev);
+    __m128i nib = _mm_and_si128(v, mask_low);
+    __m128i comp = _mm_shuffle_epi8(comp_tbl, nib);
+    __m128i expect = _mm_shuffle_epi8(chr_tbl, nib);
+    __m128i isacgt = _mm_cmpeq_epi8(_mm_and_si128(v, upper), expect);
+    _mm_storeu_si128((__m128i*)(dst + i), _mm_blendv_epi8(enn, comp, isacgt));
+  }
+  for (; i < len; i++) dst[i] = COMP[seq[len - 1 - i]];
+}
+#else
 static void revcomp_into(const uint8_t* seq, int len, std::string& out) {
   out.resize(len);
   for (int i = 0; i < len; i++) out[i] = COMP[seq[len - 1 - i]];
 }
+#endif
 
 static inline void append_int(std::string& out, int64_t v) {
   char tmp[24];
@@ -2368,7 +2578,7 @@ static bool preseed_range(const Ctx& ctx, const ChunkIn& in, int lo, int hi,
   arena.resize(total);
   offs.resize(n + 1);
   const uint8_t* base = in.seq_concat + in.seq_off[lo];
-  for (int64_t i = 0; i < total; i++) arena[i] = (int8_t)NT4[base[i]];
+  encode_bulk(base, arena.data(), total);
   for (int i = 0; i <= n; i++) offs[i] = in.seq_off[lo + i] - in.seq_off[lo];
   if ((int)raw.size() < n) raw.resize(n);
   for (int i = 0; i < n; i++) raw[i].clear();
@@ -2709,8 +2919,9 @@ struct NativeReader {
   // Mate-2 loaded reverse-complemented, qual reversed (GetData.cpp:125-135)
   void revcomp_last(ChunkBufs& b) {
     int64_t s = b.seq_off[b.n - 1], e = b.seq_off[b.n];
-    std::reverse(b.seq.begin() + s, b.seq.begin() + e);
-    for (int64_t i = s; i < e; i++) b.seq[i] = (uint8_t)COMP[b.seq[i]];
+    thread_local std::string tmp;
+    revcomp_into(b.seq.data() + s, (int)(e - s), tmp);  // SIMD path
+    memcpy(b.seq.data() + s, tmp.data(), (size_t)(e - s));
     if (fastq)
       std::reverse(b.qual.begin() + b.qual_off[b.n - 1],
                    b.qual.begin() + b.qual_off[b.n]);
@@ -2806,6 +3017,19 @@ void kart_ctx_set_seed_tables(void* vctx, const int32_t* table_lo,
   }
   st.ref_codes.resize(seq_len);
   for (int64_t i = 0; i < seq_len; i++) st.ref_codes[i] = (int8_t)NT4[c.ref_seq[i]];
+  // padded 13-mer ids of sub-13 tail suffixes (rows with loc > seq_len-13):
+  // their table ids are zero-padded garbage, so intervals holding one must
+  // take the linear extension path (see km_is_bogus / ext_interval_bin)
+  st.bogus_km.clear();
+  for (int64_t loc = seq_len - SEED_K + 1; loc <= seq_len; loc++) {
+    uint32_t km2 = 0;
+    for (int i = 0; i < SEED_K; i++) {
+      int64_t p2 = loc + i;
+      int8_t cc = p2 < seq_len ? st.ref_codes[p2] : (int8_t)0;
+      km2 = (km2 << 2) | (uint32_t)(cc & 3);
+    }
+    st.bogus_km.push_back(km2);
+  }
   hint_hugepages(st.table_lo, ((size_t)1 << 26) * 4 + 4);  // 4^13+1 int32
   hint_hugepages(st.sa_full, (size_t)(seq_len + 1) * 4);
   hint_hugepages(st.ref_codes.data(), st.ref_codes.size());
@@ -2976,7 +3200,7 @@ void kart_encode_reads(const uint8_t* seq_concat, const int64_t* seq_off,
     int len = (int)(seq_off[i + 1] - seq_off[i]);
     if (len > l_max) len = l_max;
     int8_t* row = out + (int64_t)i * l_max;
-    for (int j = 0; j < len; j++) row[j] = (int8_t)NT4[s[j]];
+    encode_bulk(s, row, len);
     if (len < l_max) memset(row + len, 4, l_max - len);
     rlens[i] = len;
   }

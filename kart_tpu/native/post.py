@@ -30,6 +30,14 @@ def _compile_lib() -> str | None:
     # per output path (slashes mangled to '#'), so stage the profile under
     # the name it will look for.
     pgo = os.path.join(_BUILD_DIR, "kart_post.gcda")
+    if not os.path.exists(pgo):
+        # the committed profile (regenerated round 4 on the bench workload)
+        # seeds fresh checkouts; _build/ is gitignored
+        shipped = os.path.join(_NATIVE_DIR, "kart_post.gcda.pgo")
+        if os.path.exists(shipped):
+            import shutil
+
+            shutil.copyfile(shipped, pgo)
     if os.path.exists(pgo):
         import shutil
 
@@ -195,8 +203,10 @@ class NativePostProcessor:
         if n_threads <= 0:
             # 2x oversubscription: with work-stealing blocks the extra
             # contexts fill reader-thread gaps and scheduler stalls
-            # (measured best on 2-vCPU hosts)
-            n_threads = 2 * (os.cpu_count() or 1)
+            # (measured best on 2-vCPU hosts); KART_THREADS overrides
+            n_threads = int(
+                os.environ.get("KART_THREADS", 2 * (os.cpu_count() or 1))
+            )
         # keep referenced arrays alive for the context lifetime
         self._ref_seq = np.ascontiguousarray(gidx.ref_seq)
         names = [n.encode() for n in gidx.raw.chrom_names]

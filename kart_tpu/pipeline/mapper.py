@@ -1,10 +1,13 @@
 """Chunk mapper: device seeding + host divide/conquer/report pipeline.
 
 Orchestration mirror of ReadMapping/Mapping (reference: src/Mapping.cpp:
-488-742): per 4000-read chunk, seed on the TPU (batched FM scan + one
-full-SA gather), then run the per-read candidate/report pipeline and emit
-SAM records.  Paired-end state (online insert-size estimate) follows the
-reference's exact update rule."""
+488-742): group-fused read batches seed on the TPU (batched FM or direct
+13-mer scan), every occurrence expands and SA-resolves ON DEVICE
+(ops/resolve.py — full-SA gather, or sampled-SA inverse-Psi walks in the
+frugal KART_SA_MODE=sampled mode), and the compact resolved stream feeds
+the per-read candidate/report pipeline that emits SAM records.  Paired-end
+state (online insert-size estimate) follows the reference's exact update
+rule."""
 
 from __future__ import annotations
 
@@ -111,7 +114,17 @@ class KartMapper:
                     gidx, pacbio, max_gaps, max_insert_size, self.min_seed_len,
                     multi_hit, n_threads=n_threads, debug=debug,
                 )
-            except Exception:
+            except Exception as e:
+                # the python pipeline is a correct but ~50x slower fallback:
+                # losing the native engine must be VISIBLE (a silent compile
+                # regression once hid behind this except for a whole run)
+                import sys as _sys
+
+                print(
+                    f"kart-tpu: native engine unavailable "
+                    f"({type(e).__name__}: {e}); using the python pipeline",
+                    file=_sys.stderr,
+                )
                 self.native = None
         # direct 13-mer lookup seeding engine (small-genome TPU fast path)
         self.kmer_tables = None
