@@ -354,7 +354,11 @@ static void ext_interval_bin(const SeedTables& st, const int8_t* renc13,
 
 // linear-scan threshold: below this the per-row scan with its prefetch
 // pipeline wins; above it the binary block search does
-static const int32_t EXT_BIN_THR = 48;
+// (KART_EXT_BIN_THR overrides for A/B measurement; 1<<30 disables)
+static const int32_t EXT_BIN_THR = [] {
+  const char* e = getenv("KART_EXT_BIN_THR");
+  return e ? atoi(e) : 48;
+}();
 
 // Capped maximal extension at `pos` with window end `stop` (BWT_Search's
 // [start, stop) semantics): returns length and appends the occurrences of

@@ -22,45 +22,18 @@ def _compile_lib() -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     tmp = os.path.join(_BUILD_DIR, "libkartpost.build.so")
+    # plain -O3: a PGO build was A/B-tested in round 4 (same-window
+    # alternating pairs) and measured NEUTRAL on Illumina (0.97x) and
+    # HARMFUL on PacBio (0.85x) with the current code — the r2-era profile
+    # win did not survive the binary-extension/SIMD rework, so the profile
+    # machinery was removed rather than shipped stale
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
            "-pthread", src, "-o", tmp, "-lz"]
-    # profile-guided build when the committed profile is present (+~10%
-    # measured on the bench workload; regenerate with -fprofile-generate
-    # and a bench run, then copy the .gcda here).  gcc resolves profiles
-    # per output path (slashes mangled to '#'), so stage the profile under
-    # the name it will look for.
-    pgo = os.path.join(_BUILD_DIR, "kart_post.gcda")
-    if not os.path.exists(pgo):
-        # the committed profile (regenerated round 4 on the bench workload)
-        # seeds fresh checkouts; _build/ is gitignored
-        shipped = os.path.join(_NATIVE_DIR, "kart_post.gcda.pgo")
-        if os.path.exists(shipped):
-            import shutil
-
-            shutil.copyfile(shipped, pgo)
-    if os.path.exists(pgo):
-        import shutil
-
-        pgo_dir = os.path.join(_BUILD_DIR, "_pgo")
-        os.makedirs(pgo_dir, exist_ok=True)
-        mangled = os.path.abspath(tmp).replace(os.sep, "#") + "-kart_post.gcda"
-        shutil.copyfile(pgo, os.path.join(pgo_dir, mangled))
-        cmd[1:1] = [f"-fprofile-use={pgo_dir}", "-fprofile-correction",
-                    "-Wno-missing-profile"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, out)
         return out
     except (subprocess.CalledProcessError, FileNotFoundError):
-        if os.path.exists(pgo):  # stale/incompatible profile: plain build
-            cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                   "-fPIC", "-pthread", src, "-o", tmp, "-lz"]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True)
-                os.replace(tmp, out)
-                return out
-            except (subprocess.CalledProcessError, FileNotFoundError):
-                return None
         return None
 
 

@@ -374,31 +374,39 @@ def _kmer_seed_scan_slab(
         genuine = valid_hit & (locs <= last_valid)
         locs_s = jnp.where(genuine, locs, 0).astype(jnp.int32)
 
-        # funnel-aligned text window: W packed words -> W-1 aligned words.
-        # (element-wise (H, W) gather measured 3.5x FASTER here than a
-        # vmapped dynamic_slice with slice_sizes=(W,) — short 52-byte runs
-        # don't amortize the slice-gather's per-row setup on v5e)
-        tw = text_words[(locs_s >> 4)[:, None] + warange[None, :]]  # (H, W)
-        sh = ((locs_s & 15) * 2).astype(jnp.uint32)[:, None]
-        t_al = (tw[:, :-1] >> sh) | jnp.where(
-            sh > 0, tw[:, 1:] << (jnp.uint32(32) - sh), jnp.uint32(0)
+        # funnel-aligned text window: W packed words -> W-1 aligned words,
+        # laid out TRANSPOSED as (W, H): the minor dimension must be the
+        # large one — an (H, W~11) layout wastes ~91% of every (8,128) TPU
+        # tile and made these fusions the scan's hottest ops (r4 xprof:
+        # 1.4 ms per round for a 720 KB elementwise+reduce)
+        twT = text_words[warange[:, None] + (locs_s >> 4)[None, :]]  # (W, H)
+        shT = ((locs_s & 15) * 2).astype(jnp.uint32)[None, :]
+        t_alT = (twT[:-1] >> shT) | jnp.where(
+            shT > 0, twT[1:] << (jnp.uint32(32) - shT), jnp.uint32(0)
         )
 
-        # per-lane aligned read window at its restart p (B, W-1)
-        rw = rwords[bidx[:, None], (p_idx >> 4)[:, None] + warange[None, :]]
-        rsh = ((p_idx & 15) * 2).astype(jnp.uint32)[:, None]
-        r_al = (rw[:, :-1] >> rsh) | jnp.where(
-            rsh > 0, rw[:, 1:] << (jnp.uint32(32) - rsh), jnp.uint32(0)
+        # per-lane aligned read window at its restart p: (W-1, B)
+        rwT = rwords[bidx[None, :], (p_idx >> 4)[None, :] + warange[:, None]]
+        rshT = ((p_idx & 15) * 2).astype(jnp.uint32)[None, :]
+        r_alT = (rwT[:-1] >> rshT) | jnp.where(
+            rshT > 0, rwT[1:] << (jnp.uint32(32) - rshT), jnp.uint32(0)
         )
 
-        # LCP via first nonzero XOR word + count-trailing-zeros
-        xor = t_al ^ r_al[lane_c]
-        nz = xor != 0
-        anym = jnp.any(nz, axis=1)
-        fw = jnp.argmax(nz, axis=1).astype(jnp.int32)
-        xw = xor[jhit, fw]
+        # LCP via leading-zero-word count + count-trailing-zeros of the
+        # first nonzero word, all as (W-1, H) elementwise + short-axis
+        # reductions (no per-hit gather of the argmax word)
+        xorT = t_alT ^ r_alT[:, lane_c]  # (W-1, H)
+        iszero = (xorT == 0).astype(jnp.uint32)
+        prefix_zero = jnp.cumprod(iszero, axis=0)  # 1 while prefix all-zero
+        nzw = jnp.sum(prefix_zero, axis=0).astype(jnp.int32)  # leading 0-words
+        anym = nzw < (W - 1)
+        pz_shift = jnp.concatenate(
+            [jnp.ones((1, H), jnp.uint32), prefix_zero[:-1]], axis=0
+        )
+        first_mask = (pz_shift == 1) & (iszero == 0)
+        xw = jnp.sum(jnp.where(first_mask, xorT, 0), axis=0)  # (H,)
         ctz = jax.lax.population_count((xw & (jnp.uint32(0) - xw)) - jnp.uint32(1))
-        lcp_h = jnp.where(anym, fw * 16 + (ctz >> 1).astype(jnp.int32), (W - 1) * 16)
+        lcp_h = jnp.where(anym, nzw * 16 + (ctz >> 1).astype(jnp.int32), (W - 1) * 16)
         # read-side cap: first ambiguous base AND remaining read length —
         # amb_off alone misses the read end when rlen == l_max (no pad-4
         # sentinel), and the zero-padded read words would match 'A' text
