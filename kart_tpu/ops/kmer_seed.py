@@ -52,6 +52,7 @@ class KmerSeedTables:
     text_np: np.ndarray  # (2L + seg_pad,) int8 codes, padded with 5
     sa_full_np: np.ndarray  # (2L + 1,) int32
     bitmaps_np: tuple  # per k in BITMAP_KS: (4^k/32,) uint32 presence words
+    sub_tbl_np: np.ndarray  # (4^13,) uint16: bit k set iff the k-prefix occurs
     seq_len: int
     max_mult: int  # max 13-mer multiplicity (for hit_cap sizing)
     all_short_present: bool  # every 4-mer occurs (sub-13 lengths exact)
@@ -80,6 +81,10 @@ class KmerSeedTables:
         if not hasattr(self, key):
             object.__setattr__(self, key, tuple(jnp.asarray(b) for b in self.bitmaps_np))
         return getattr(self, key)
+
+    @property
+    def sub_tbl(self):
+        return self._dev("sub_tbl", self.sub_tbl_np)
 
     @property
     def text_words(self):
@@ -118,6 +123,7 @@ def build_tables(gidx, seg_pad: int = 1024, cache: bool = True) -> KmerSeedTable
                     text_np=z["text"],
                     sa_full_np=gidx.sa_full.astype(np.int32),
                     bitmaps_np=tuple(z[f"bm{i}"] for i in range(len(BITMAP_KS))),
+                    sub_tbl_np=z["subtbl"],  # KeyError on pre-r4 sidecars -> rebuild
                     seq_len=int(z["seq_len"][0]),
                     max_mult=int(z["seq_len"][1]),
                     all_short_present=bool(z["seq_len"][2]),
@@ -130,6 +136,7 @@ def build_tables(gidx, seg_pad: int = 1024, cache: bool = True) -> KmerSeedTable
             arrs = dict(
                 table_lo=tb.table_lo_np,
                 text=tb.text_np,
+                subtbl=tb.sub_tbl_np,
                 seq_len=np.array(
                     [tb.seq_len, tb.max_mult, int(tb.all_short_present)], np.int64
                 ),
@@ -167,6 +174,11 @@ def _build_tables_fresh(gidx, seg_pad: int = 1024) -> KmerSeedTables:
 
     bitmaps = []
     all_short = True
+    # per-13-mer presence bitmask: bit k set iff the id's k-prefix occurs in
+    # the genome — ONE gather at scan time replaces the 9 per-round bitmap
+    # tests (the device round loop is fusion-count-bound on v5e)
+    sub_tbl = np.zeros(4**K, dtype=np.uint16)
+    all_ids13 = np.arange(4**K, dtype=np.int64)
     for k in BITMAP_KS:
         kk = np.zeros(seq_len - k + 1, dtype=np.int64)
         for i in range(k):
@@ -175,6 +187,7 @@ def _build_tables_fresh(gidx, seg_pad: int = 1024) -> KmerSeedTables:
         present[kk] = True
         if k == BITMAP_KS[-1]:
             all_short = bool(present.all())
+        sub_tbl |= present[all_ids13 >> (2 * (K - k))].astype(np.uint16) << k
         words = np.packbits(present.reshape(-1, 32), axis=1, bitorder="little")
         bitmaps.append(np.frombuffer(words.tobytes(), dtype="<u4").copy())
 
@@ -186,6 +199,7 @@ def _build_tables_fresh(gidx, seg_pad: int = 1024) -> KmerSeedTables:
         text_np=text_padded,
         sa_full_np=gidx.sa_full.astype(np.int32),
         bitmaps_np=tuple(bitmaps),
+        sub_tbl_np=sub_tbl,
         seq_len=seq_len,
         max_mult=max_mult,
         all_short_present=all_short,
@@ -234,7 +248,7 @@ def kmer_seed_scan(
     table_lo,
     text_words,
     sa_full,
-    bitmaps,
+    sub_tbl,
     reads,
     rlens,
     min_seed_len,
@@ -254,7 +268,7 @@ def kmer_seed_scan(
     B = reads.shape[0]
     if B <= _SLAB_ROWS:
         return _kmer_seed_scan_slab(
-            table_lo, text_words, sa_full, bitmaps, reads, rlens, min_seed_len,
+            table_lo, text_words, sa_full, sub_tbl, reads, rlens, min_seed_len,
             max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
             seq_len=seq_len,
         )
@@ -265,7 +279,7 @@ def kmer_seed_scan(
         rlens = jnp.pad(rlens, (0, pad))
     out = jax.lax.map(
         lambda rr: _kmer_seed_scan_slab(
-            table_lo, text_words, sa_full, bitmaps, rr[0], rr[1], min_seed_len,
+            table_lo, text_words, sa_full, sub_tbl, rr[0], rr[1], min_seed_len,
             max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
             seq_len=seq_len,
         ),
@@ -281,7 +295,7 @@ def _kmer_seed_scan_slab(
     table_lo,
     text_words,
     sa_full,
-    bitmaps,
+    sub_tbl,
     reads,
     rlens,
     min_seed_len,
@@ -430,13 +444,14 @@ def _kmer_seed_scan_slab(
         )[:B]
         row0 = lo + jnp.where(freq > 0, first_off, 0)
 
-        # sub-13 exact restart length from presence bitmaps
-        sub_len = jnp.zeros((B,), jnp.int32)
-        for bi, k in enumerate(BITMAP_KS):
-            kk = (km >> (2 * (K - k))).astype(jnp.int32)
-            ok_k = _bitmap_test(bitmaps[bi], kk) & (amb_off[bidx, p_idx] >= k)
-            sub_len = jnp.maximum(sub_len, jnp.where(ok_k, k, 0))
-        sub_len = jnp.minimum(sub_len, amb_off[bidx, p_idx])
+        # sub-13 exact restart length: ONE bitmask-table gather (bit k of
+        # sub_tbl[km] set iff the k-prefix occurs in the genome) + highest
+        # set bit allowed by the first-ambiguous offset — replaces the 9
+        # per-round bitmap gathers (the round loop is fusion-count-bound)
+        aoff = amb_off[bidx, p_idx]
+        msk = sub_tbl[km].astype(jnp.int32)
+        allow = msk & ((jnp.int32(1) << (jnp.minimum(aoff, K) + 1)) - 1)
+        sub_len = jnp.where(allow > 0, 31 - jax.lax.clz(jnp.maximum(allow, 1)), 0)
         length = jnp.where(has13, best, sub_len)
 
         record = active & has13 & (length >= min_seed_len) & (freq <= OCC_THR) & (freq > 0)

@@ -90,14 +90,14 @@ def sensitive_scan_packed(fm: FMIndexArrays, words, amb_r, amb_p, rlens,
     jax.jit,
     static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len"),
 )
-def kmer_seed_scan_packed(table_lo, text_words, sa_full, bitmaps, words, amb_r,
+def kmer_seed_scan_packed(table_lo, text_words, sa_full, sub_tbl, words, amb_r,
                           amb_p, rlens, min_seed_len, *, max_seeds, l_max,
                           hit_cap, rounds, seq_len):
     from .kmer_seed import kmer_seed_scan
 
     reads = unpack_reads_device(words, amb_r, amb_p, l_max)
     return kmer_seed_scan(
-        table_lo, text_words, sa_full, bitmaps, reads, rlens, min_seed_len,
+        table_lo, text_words, sa_full, sub_tbl, reads, rlens, min_seed_len,
         max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
         seq_len=seq_len,
     )
@@ -189,7 +189,7 @@ def sensitive_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p,
     static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len",
                      "occ_budget"),
 )
-def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, bitmaps,
+def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, sub_tbl,
                                    words, amb_r, amb_p, rlens, min_seed_len,
                                    *, max_seeds, l_max, hit_cap, rounds,
                                    seq_len, occ_budget):
@@ -198,7 +198,7 @@ def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, bitmaps,
 
     reads = unpack_reads_device(words, amb_r, amb_p, l_max)
     packed = kmer_seed_scan(
-        table_lo, text_words, sa_full, bitmaps, reads, rlens, min_seed_len,
+        table_lo, text_words, sa_full, sub_tbl, reads, rlens, min_seed_len,
         max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
         seq_len=seq_len,
     )

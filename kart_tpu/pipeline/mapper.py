@@ -351,7 +351,7 @@ class KartMapper:
                     tb.table_lo,
                     tb.text_words,
                     tb.sa_full,
-                    tb.bitmaps,
+                    tb.sub_tbl,
                     reads,
                     rl,
                     np.int32(self.min_seed_len),
@@ -641,7 +641,7 @@ class KartMapper:
             # per-round work by the H budget, not hit_cap, so capping at 128
             # only manufactured overflow lanes (r4: 94/32k on the bench genome)
             futs = kmer_seed_scan_resolved_packed(
-                tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
+                tb.table_lo, tb.text_words, tb.sa_full, tb.sub_tbl,
                 words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max,
                 hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,

@@ -232,7 +232,7 @@ def test_kmer_seed_scan_matches_fm_long_reads(tiny_index):
     max_seeds = l_max // (min_seed + 1) + 1
     packed = np.asarray(
         kmer_seed_scan(
-            tb.table_lo, tb.text_words, tb.sa_full, tb.bitmaps,
+            tb.table_lo, tb.text_words, tb.sa_full, tb.sub_tbl,
             reads, rlens, np.int32(min_seed),
             max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap,
             rounds=l_max // 10 + 4, seq_len=tb.seq_len,
