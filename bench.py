@@ -312,7 +312,7 @@ def main():
             dev_mapper.map_stream(r1, r2, True, True, lambda s: None)  # prime
             ref_pass = make_reference_runner(prefix, r1, r2)
             dev_rates, dev_ratios = [], []
-            for _ in range(4):
+            for _ in range(5):
                 total0 = dev_mapper.stats["total"]
                 t0 = time.time()
                 dev_mapper.map_stream(r1, r2, True, True, lambda s: None)
