@@ -111,11 +111,11 @@ def kmer_seed_scan_packed(table_lo, text_words, sa_full, sub_tbl, words, amb_r,
 
 
 def _resolver(fm, mode: str):
-    from .resolve import sa_walk_rows
+    from .fm_search import sa_walk
 
     if mode == "full":
         return lambda rows: (fm.sa_full[rows], rows == rows)
-    return lambda rows: sa_walk_rows(fm, rows)
+    return lambda rows: sa_walk(fm, rows)
 
 
 def _pack_stream(cnts, meta, gpos):

@@ -37,38 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def sa_walk_rows(fm, rows, *, max_steps=4096):
-    """Batched bwt_sa over arbitrary rows (N,) using the sampled SA only.
-    Returns (pos, done); `done=False` lanes exceeded max_steps (pathological
-    index) and must be resolved by the caller's host fallback."""
-    from .fm_search import inv_psi
-
-    sa_intv_log2 = jnp.int32(5)  # reference sa_intv == 32 (bwtindex.c:142)
-    mask = (rows.dtype.type(1) << sa_intv_log2) - rows.dtype.type(1)
-
-    def cond(state):
-        k, add, it = state
-        return (it < max_steps) & jnp.any((k & mask) != 0)
-
-    def body(state):
-        k, add, it = state
-        at_sample = (k & mask) == 0
-        nk = jax.vmap(lambda kk: inv_psi(fm, kk))(k)
-        k = jnp.where(at_sample, k, nk)
-        add = add + (~at_sample).astype(jnp.int32)
-        return (k, add, it + 1)
-
-    add0 = jnp.zeros(rows.shape, jnp.int32)
-    k, add, _ = jax.lax.while_loop(cond, body, (rows, add0, jnp.int32(0)))
-    done = (k & mask) == 0
-    return add.astype(rows.dtype) + fm.sa_samples[k >> sa_intv_log2], done
-
-
-import functools as _functools
-
-sa_walk_rows_jit = _functools.partial(jax.jit, static_argnames=("max_steps",))(
-    sa_walk_rows
-)
+# The batched sampled-SA walk over arbitrary rows lives in
+# fm_search.sa_walk (same (pos, done) / max_steps contract); this module
+# re-exports it so resolution callers need only one import (ADVICE r4:
+# a near-duplicate walk here had already started to drift).
+from .fm_search import sa_walk as sa_walk_rows_jit  # noqa: F401  (jitted)
 
 
 def expand_resolve(lookup, n_seeds, rpos, slen, k0, freq, ok_in, *, occ_budget):
@@ -127,6 +100,11 @@ def expand_resolve(lookup, n_seeds, rpos, slen, k0, freq, ok_in, *, occ_budget):
         jnp.where(valid, done.astype(jnp.int32), 1), lane, num_segments=B
     ) == 0
     ok = ok_in & fits & ~bad_read
+    # meta carries raw uint32 bits in an int32 lane: slen can legitimately
+    # reach 32768 (full-length PacBio exact seed), which sets the sign bit,
+    # so consumers must decode with LOGICAL shifts ((meta >> 16) & 0xFFFF)
+    # and treat slen-field == 0xFFFF (the -1 fill) as invalid — never
+    # meta >= 0 (ADVICE r4).
     meta = rpos.reshape(-1)[slot_c].astype(jnp.int32) | (
         slen.reshape(-1)[slot_c].astype(jnp.int32) << 16
     )

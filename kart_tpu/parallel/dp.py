@@ -134,9 +134,12 @@ def _sorted_occurrences(cnts, meta, gpos, B: int, s_occ: int):
     lane = jnp.searchsorted(jnp.cumsum(tot), jh, side="right").astype(jnp.int32)
     lane_c = jnp.minimum(lane, B - 1)
     slot = jh - offs[lane_c]
-    valid = (meta >= 0) & (slot < s_occ) & (lane < B)
+    # meta packs rpos | slen<<16 as raw uint32 bits in an int32: a valid
+    # slen can reach 32768 (PacBio exact seed) which sets the sign bit, so
+    # validity is "slen field != 0xFFFF" (the -1 fill), NOT meta >= 0
+    ln = (meta >> 16) & 0xFFFF
+    valid = (ln != 0xFFFF) & (slot < s_occ) & (lane < B)
     rp = meta & 0xFFFF
-    ln = meta >> 16
     pd = gpos - rp.astype(idt)
     tgt = (lane_c, jnp.where(valid, slot, s_occ))
 
@@ -191,6 +194,15 @@ def make_full_mapping_step(
                                     budget: 4 * B_local)
       (cluster_id, accept, scores)  per-read clustering
       (paired1, paired2, pairing)   PE mating of accepted clusters
+
+    CONTRACT (ADVICE r4): cnts[i] < 0 flags read i as overflowing the
+    shard's occurrence budget — and because the budget check is a prefix
+    sum, every read AFTER the first overflow in the shard is flagged too.
+    A flagged read's clustering/pairing outputs are computed from zero
+    occurrences and are NOT valid.  Callers must check `(cnts < 0).any()`
+    and re-seed flagged reads (the production mapper re-seeds via
+    `_reseed_device_flat`; `__graft_entry__.dryrun_multichip` asserts no
+    flags at its shapes).
     """
     from ..ops.cluster import cluster_illumina
     from ..ops.pairing import pair_candidates

@@ -334,7 +334,7 @@ class KartMapper:
                 for i in np.nonzero(~ok[:n])[0]
             }
             res = (tot, offs, (meta & 0xFFFF).astype(np.int32),
-                   (meta >> 16).astype(np.int32), gpos, overrides)
+                   ((meta >> 16) & 0xFFFF).astype(np.int32), gpos, overrides)
             return self._chunk_flat(res, 0, n)
         elif (tb := self._get_kmer_tables()) is not None:
             from ..ops.kmer_seed import kmer_seed_scan
@@ -624,7 +624,7 @@ class KartMapper:
         msl = np.int32(self.min_seed_len)
         B = reads_i8.shape[0]
         budget = self._occ_budget(B, l_max)
-        sa_mode = "full" if self.sa_mode == "full" else "sampled"
+        sa_mode = self._device_sa_mode()
         if self.pacbio:
             max_seeds = l_max // self.min_seed_len + 2
             futs = sensitive_scan_resolved_packed(
@@ -654,6 +654,15 @@ class KartMapper:
             sa_mode=sa_mode,
         )
         return "resolved", futs, 0
+
+    def _device_sa_mode(self) -> str:
+        """The device resolver must be chosen from what the DEVICE holds,
+        not from the host's sa_mode: at i64 scale the host may resolve via
+        the .saf sidecar ("full") while FMIndexArrays deliberately leaves
+        the 17+ GB full SA host-side (sa_full=None), so the device walks
+        the sampled SA (ADVICE r4 high: sa_mode="full" with sa_full=None
+        crashed human-scale device runs at trace time)."""
+        return "full" if self.fm_dev.sa_full is not None else "sampled"
 
     def _reseed_host_flat(self, enc: np.ndarray):
         """Exact host re-seed of one read (budget/scan overflow lanes):
@@ -691,7 +700,7 @@ class KartMapper:
         words, ar, ap = pack_reads_2bit(reads_b)
         budget = Bb * 64 if not self.pacbio else self._occ_budget(Bb, l_max)
         msl = np.int32(self.min_seed_len)
-        sa_mode = "full" if self.sa_mode == "full" else "sampled"
+        sa_mode = self._device_sa_mode()
         fn = sensitive_scan_resolved_packed if self.pacbio else seed_scan_resolved_packed
         max_seeds = (
             l_max // self.min_seed_len + 2
@@ -711,7 +720,8 @@ class KartMapper:
                 seg = slice(int(offs[j]), int(offs[j + 1]))
                 m, g = meta[seg], gpos[seg]
                 out[int(i)] = [
-                    (int(mm & 0xFFFF), int(mm >> 16), int(gg))
+                    # logical >>16: a 32768-length seed sets meta's sign bit
+                    (int(mm & 0xFFFF), int(mm >> 16) & 0xFFFF, int(gg))
                     for mm, gg in zip(m, g)
                 ]
             else:  # budget overflow even in the re-seed batch: host model
@@ -731,7 +741,7 @@ class KartMapper:
         cnts, meta, gpos = unpack_stream(futs, B, self._occ_budget(B, l_max))
         ok, tot, offs = decode_resolved_counts(cnts)
         rpos = (meta & 0xFFFF).astype(np.int32)
-        slen = (meta >> 16).astype(np.int32)
+        slen = ((meta >> 16) & 0xFFFF).astype(np.int32)  # logical shift: slen 32768 sets the sign bit
         overrides = {}
         if not ok[:n].all():
             bad = np.nonzero(~ok[:n])[0]

@@ -193,6 +193,32 @@ def test_pacbio_sampled_sa_frugal(golden, monkeypatch):
     run_both(golden, args, args, "pb_sampled")
 
 
+def test_paired_end_device_i64_resolver_shape(golden, monkeypatch):
+    """ADVICE r4 high regression: at i64 (human) scale the device mode has
+    the .saf sidecar on HOST (sa_mode 'full') but FMIndexArrays leaves the
+    full SA off-device (sa_full=None), and the kmer engine is gated out.
+    The device resolver must then be the sampled-SA walk, not a gather from
+    a None sa_full (which crashed with TypeError at trace).  Simulated here
+    at small scale: gate the kmer tables and force with_full_sa=False while
+    the host keeps sa_mode='full'."""
+    from kart_tpu.ops.fm_search import FMIndexArrays
+
+    monkeypatch.setenv("KART_SEED_MODE", "device")
+    monkeypatch.setenv("KART_KMER_GATE", "0")  # i64-scale kmer gating
+    orig = FMIndexArrays.from_genome_index.__func__
+
+    def no_full_sa(cls, gidx, sharding=None, with_full_sa=None):
+        if with_full_sa is None:
+            with_full_sa = False  # i64-scale auto behavior
+        return orig(cls, gidx, sharding=sharding, with_full_sa=with_full_sa)
+
+    monkeypatch.setattr(
+        FMIndexArrays, "from_genome_index", classmethod(no_full_sa)
+    )
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args, "pe_i64shape")
+
+
 def test_paired_end_batched_device_nw(golden, monkeypatch):
     """Batched device conquer: per-chunk NW fragments collected and run as
     one Pallas NW batch, report pass replays from the memo."""
