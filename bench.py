@@ -29,9 +29,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(REPO, "bench_data")
-# 16-thread reference kart on this host, repeat-bearing workload (2026-08-20,
-# median of 5 runs; see BASELINE.md)
-BASELINE_REF_READS_PER_SEC = 118022.0
+# FALLBACK denominator, used only when the reference oracle binaries are
+# absent: the same-window interleaved reference measurement from the last
+# driver-captured run (BENCH_r04.json baseline_reads_per_sec).  The host's
+# vCPUs drift 79k-120k over hours (BASELINE.md), so any fixed number is
+# approximate — every real bench run re-measures the reference inline.
+BASELINE_REF_READS_PER_SEC = 81768.4
 
 GENOME_LEN = 4_639_680
 N_PAIRS = 100_000
