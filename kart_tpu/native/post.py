@@ -74,6 +74,11 @@ def load_postlib():
     lib.kart_free.argtypes = [ctypes.c_char_p]
     lib.kart_ctx_set_sa_full.restype = None
     lib.kart_ctx_set_sa_full.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
+    lib.kart_ctx_set_fm_index.restype = None
+    lib.kart_ctx_set_fm_index.argtypes = [
+        ctypes.c_void_p, i64p, u32p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+    ]
     lib.kart_process_chunk_packed.restype = ctypes.c_int64
     lib.kart_process_chunk_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -279,6 +284,29 @@ class NativePostProcessor:
         stats["unique"] = int(st[2])
         stats["unmapped"] = int(st[3])
         return sam
+
+    def set_fm_index(self, gidx) -> None:
+        """Attach the FM index (.bwt/.sa arrays) as the native seeding
+        engine — the reference's memory-frugal scheme (backward search +
+        inverse-Psi sampled-SA walks, src/bwt_search.cpp / bwt.c:101-123).
+        Used when the 13-mer direct tables are unavailable (human-scale
+        genomes, KART_SA_MODE=sampled): no .saf, no full SA anywhere."""
+        r = gidx.raw
+        self._fm_occ = np.ascontiguousarray(r.occ_cp, dtype=np.int64).reshape(-1)
+        self._fm_words = np.ascontiguousarray(r.bwt_words, dtype=np.uint32).reshape(-1)
+        self._fm_sa = np.ascontiguousarray(r.sa_samples, dtype=np.int64)
+        self._fm_L2 = np.ascontiguousarray(r.L2, dtype=np.int64)
+        self.lib.kart_ctx_set_fm_index(
+            self.ctx,
+            _i64p(self._fm_occ),
+            self._fm_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            _i64p(self._fm_sa),
+            _i64p(self._fm_L2),
+            ctypes.c_int64(r.primary),
+            ctypes.c_int64(r.seq_len),
+            ctypes.c_int32(r.sa_intv),
+        )
+        self.has_fm_index = True
 
     def set_sa_full(self, sa_full_np, seq_len) -> None:
         """Attach the full SA for packed-seed occurrence expansion when the

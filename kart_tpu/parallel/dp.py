@@ -75,15 +75,7 @@ def make_mapping_step(
         sfm_host, geom = build_sharded_fm(gidx, n_shards)
         nb_local = geom["nb_local"]
         ns_local = geom["ns_local"]
-        shard1 = NamedSharding(mesh, P(idx_axis))
-        repl = NamedSharding(mesh, P())
-        sfm = jax.tree.map(jnp.asarray, sfm_host)
-        sfm.occ_cp = jax.device_put(sfm.occ_cp, shard1)
-        sfm.bwt_words = jax.device_put(sfm.bwt_words, shard1)
-        sfm.sa_full = jax.device_put(sfm.sa_full, shard1)
-        sfm.L2 = jax.device_put(sfm.L2, repl)
-        sfm.primary = jax.device_put(sfm.primary, repl)
-        sfm.seq_len = jax.device_put(sfm.seq_len, repl)
+        sfm = place_sharded_fm(jax.tree.map(jnp.asarray, sfm_host), mesh, idx_axis)
 
         def local_step(sfm_l, reads, rlens):
             packed = sharded_seed_scan(
@@ -180,6 +172,7 @@ def make_full_mapping_step(
     s_occ: int = 16,
     max_gaps: int = 5,
     est_distance: int = 1500,
+    sa_mode: str = "full",
 ):
     """The WHOLE device mapping front half over `mesh`: FastMode seeding ->
     on-device occurrence expansion + SA resolution (full-SA gather on the
@@ -259,13 +252,20 @@ def make_full_mapping_step(
         )
 
     if idx_axis is None:
-        fm = FMIndexArrays.from_genome_index(gidx, sharding=NamedSharding(mesh, P()))
-        from ..ops.fm_search import _occ4_pair_replicated
+        fm = FMIndexArrays.from_genome_index(
+            gidx, sharding=NamedSharding(mesh, P()),
+            with_full_sa=(None if sa_mode == "full" else False),
+        )
+        from ..ops.fm_search import _occ4_pair_replicated, sa_walk
 
         def local_step(fm_l, reads, rlens):
+            if fm_l.sa_full is not None:
+                lookup = lambda rows: (fm_l.sa_full[rows], rows == rows)
+            else:
+                lookup = lambda rows: sa_walk(fm_l, rows)
             return front_half(
                 _occ4_pair_replicated(fm_l),
-                lambda rows: (fm_l.sa_full[rows], rows == rows),
+                lookup,
                 fm_l.L2, fm_l.primary, reads, rlens,
             )
 
@@ -284,28 +284,31 @@ def make_full_mapping_step(
         index_arg = fm
     else:
         n_shards = mesh.shape[idx_axis]
-        sfm_host, geom = build_sharded_fm(gidx, n_shards)
+        sfm_host, geom = build_sharded_fm(gidx, n_shards, sa_mode=sa_mode)
         nb_local = geom["nb_local"]
         ns_local = geom["ns_local"]
-        shard1 = NamedSharding(mesh, P(idx_axis))
-        repl = NamedSharding(mesh, P())
-        sfm = jax.tree.map(jnp.asarray, sfm_host)
-        sfm.occ_cp = jax.device_put(sfm.occ_cp, shard1)
-        sfm.bwt_words = jax.device_put(sfm.bwt_words, shard1)
-        sfm.sa_full = jax.device_put(sfm.sa_full, shard1)
-        sfm.L2 = jax.device_put(sfm.L2, repl)
-        sfm.primary = jax.device_put(sfm.primary, repl)
-        sfm.seq_len = jax.device_put(sfm.seq_len, repl)
+        nsamp_local = geom["nsamp_local"]
+        sfm = place_sharded_fm(
+            jax.tree.map(jnp.asarray, sfm_host), mesh, idx_axis
+        )
 
         def local_step(sfm_l, reads, rlens):
-            from .sharded_index import sharded_occ4_pair
+            from .sharded_index import sharded_occ4_pair, sharded_sa_walk
 
-            return front_half(
-                lambda ka, kb: sharded_occ4_pair(sfm_l, nb_local, idx_axis, ka, kb),
-                lambda rows: (
+            if sfm_l.sa_full is not None:
+                lookup = lambda rows: (
                     sharded_sa_gather(sfm_l.sa_full, ns_local, idx_axis, rows),
                     rows == rows,
-                ),
+                )
+            else:
+                # frugal resolver: sharded inverse-Psi walk over the
+                # sharded intv-32 samples — no full SA anywhere
+                lookup = lambda rows: sharded_sa_walk(
+                    sfm_l, nb_local, nsamp_local, idx_axis, rows
+                )
+            return front_half(
+                lambda ka, kb: sharded_occ4_pair(sfm_l, nb_local, idx_axis, ka, kb),
+                lookup,
                 sfm_l.L2, sfm_l.primary, reads, rlens,
             )
 
@@ -313,7 +316,8 @@ def make_full_mapping_step(
             jax.shard_map(
                 local_step,
                 mesh=mesh,
-                in_specs=(ShardedFMSpecs(idx_axis), P(data_axis), P(data_axis)),
+                in_specs=(ShardedFMSpecs(idx_axis, sa_mode == "full"),
+                          P(data_axis), P(data_axis)),
                 out_specs=(
                     (P(data_axis), P(data_axis), P(data_axis)),
                     (P(data_axis), P(data_axis), P(data_axis)),
@@ -334,18 +338,37 @@ def make_full_mapping_step(
     return functools.partial(step, index_arg), place_reads
 
 
-def ShardedFMSpecs(idx_axis: str):
-    """PartitionSpecs pytree matching ShardedFM's flattened children."""
+def ShardedFMSpecs(idx_axis: str, with_full_sa: bool = True):
+    """PartitionSpecs pytree matching ShardedFM's flattened children.
+    with_full_sa=False matches the frugal build (sa_full is None and
+    flattens away as an empty subtree)."""
     from .sharded_index import ShardedFM
 
     return ShardedFM(
         occ_cp=P(idx_axis),
         bwt_words=P(idx_axis),
-        sa_full=P(idx_axis),
+        sa_full=P(idx_axis) if with_full_sa else None,
+        sa_samples=P(idx_axis),
         L2=P(),
         primary=P(),
         seq_len=P(),
     )
+
+
+def place_sharded_fm(sfm, mesh, idx_axis: str):
+    """device_put every ShardedFM child with its production sharding
+    (block-sharded big arrays along `idx_axis`, replicated scalars)."""
+    shard1 = NamedSharding(mesh, P(idx_axis))
+    repl = NamedSharding(mesh, P())
+    sfm.occ_cp = jax.device_put(sfm.occ_cp, shard1)
+    sfm.bwt_words = jax.device_put(sfm.bwt_words, shard1)
+    if sfm.sa_full is not None:
+        sfm.sa_full = jax.device_put(sfm.sa_full, shard1)
+    sfm.sa_samples = jax.device_put(sfm.sa_samples, shard1)
+    sfm.L2 = jax.device_put(jnp.asarray(sfm.L2), repl)
+    sfm.primary = jax.device_put(jnp.asarray(sfm.primary), repl)
+    sfm.seq_len = jax.device_put(jnp.asarray(sfm.seq_len), repl)
+    return sfm
 
 
 def make_data_mesh(n_data: int, n_idx: int = 1, devices=None) -> Mesh:

@@ -193,6 +193,23 @@ def test_pacbio_sampled_sa_frugal(golden, monkeypatch):
     run_both(golden, args, args, "pb_sampled")
 
 
+def test_paired_end_native_fm_sampled(golden, monkeypatch):
+    """Pure-CPU frugal path (VERDICT r4 missing #2): KART_SA_MODE=sampled
+    with -cpu routes seeding through the NATIVE FM stepper + inverse-Psi
+    sampled-SA walks (kart_post.cpp fm_search/fm_sa) — no device, no .saf,
+    no full SA, no 13-mer tables.  The reference's own memory scheme
+    (src/bwt_search.cpp, bwt.c:101-123); SAM must be bit-identical."""
+    monkeypatch.setenv("KART_SA_MODE", "sampled")
+    args = ["-f", str(golden / "r1.fq"), "-f2", str(golden / "r2.fq")]
+    run_both(golden, args, args + ["-cpu"], "pe_native_fm")
+
+
+def test_pacbio_native_fm_sampled(golden, monkeypatch):
+    monkeypatch.setenv("KART_SA_MODE", "sampled")
+    args = ["-pacbio", "-f", str(golden / "pb1.fq")]
+    run_both(golden, args, args + ["-cpu"], "pb_native_fm")
+
+
 def test_paired_end_device_i64_resolver_shape(golden, monkeypatch):
     """ADVICE r4 high regression: at i64 (human) scale the device mode has
     the .saf sidecar on HOST (sa_mode 'full') but FMIndexArrays leaves the
