@@ -211,6 +211,16 @@ def _bitmap_test(bitmap, idx):
     return ((w >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)) != 0
 
 
+# NOTE (r5, measured on TPU v5e): expressing the funnel text/read windows
+# as lax.gather with slice_sizes=(W,) — "one W-word contiguous slice per
+# hit instead of W scalar loads" — is 6-10x SLOWER than the plain
+# advanced-indexing (W, H) gather below, in BOTH output layouts ((W, H)
+# offset-dims-first and (H, W) + transpose): scan 0.22 s -> 1.2-2.1 s per
+# 32k group.  XLA TPU's fast path covers whole aligned-row 2D gathers
+# (tools/bench_gather.py row_32: 4.8 ns/elem) but arbitrary-start slices
+# scalarize with per-slice overhead.  Keep the element gathers.
+
+
 def _distance_tables(amb, l_max):
     """For each (read, p): distance to first ambiguous base at/after p and
     distance to first NON-ambiguous base at/after p (both capped l_max).
@@ -227,18 +237,21 @@ def _distance_tables(amb, l_max):
     return d_amb, d_base
 
 
+import os as _os
+
 # rows per device slab: the per-round (slab, hit_cap, l_max) text-window
 # gather + compare intermediates are the scan's HBM high-water mark, and
 # one giant gather (32k x 128 x 160 observed) faults the TPU runtime —
 # larger fused dispatch groups are lax.map'ed over slabs of this size
 # inside ONE jit call, keeping the relay-dispatch amortization.
-_SLAB_ROWS = 4096
+# (env-overridable for on-chip scaling probes, tools/profile_device.py)
+_SLAB_ROWS = int(_os.environ.get("KART_SLAB_ROWS", "4096"))
 
 # compacted-extension hit budget per lane (average): lanes whose interval
 # hits overrun the round's H = _HIT_BUDGET * B compact rows are flagged
 # ok=False and re-seeded exactly by the FM stepper (same contract as
 # hit_cap interval overflow)
-_HIT_BUDGET = 4
+_HIT_BUDGET = int(_os.environ.get("KART_HIT_BUDGET", "4"))
 
 
 @functools.partial(
@@ -326,6 +339,12 @@ def _kmer_seed_scan_slab(
 
     amb = reads > 3
     amb_off, nonamb_off = _distance_tables(amb, l_max)
+    # packed per-position tables: one (B,) take-along gather per round
+    # instead of two (every serialized gather in the round loop costs
+    # ~10-85 ns/element on v5e — r5 xprof)
+    assert l_max <= 512, "packed round-body fields assume l_max <= 512"
+    postab1 = kmer | (amb_in_win.astype(jnp.int32) << 26)
+    postab2 = (nonamb_off << 10) | amb_off
 
     # ---- word-packed extension compare setup ------------------------------
     # Hits from all lanes are compacted into a fixed budget of H rows per
@@ -341,7 +360,6 @@ def _kmer_seed_scan_slab(
     # bases >= l_max (ADVICE r3: a fixed W=13 saturated the LCP at 192
     # bases, silently truncating exact matches on reads longer than that)
     W = (l_max + 15) // 16 + 2
-    warange = jnp.arange(W, dtype=jnp.int32)
     shifts16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     nwr = (l_max + 15) // 16 + W + 1
     rc = jnp.where(amb, 0, reads).astype(jnp.uint32)
@@ -350,17 +368,23 @@ def _kmer_seed_scan_slab(
     jhit = jnp.arange(H, dtype=jnp.int32)
     seq_len_i = jnp.int32(seq_len)
 
+    # idx field width in the packed segment-max words (covers H up to 2^20)
+    IDXB = 20
+    IDXM = (1 << IDXB) - 1
+
     def round_body(_, state):
-        p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow = state
+        p, n_seeds, rs_b, k0_b, freq_b, overflow = state
         # bulk-skip ambiguous restart positions (EncodeSeq[pos]>3 -> pos++)
         p_idx = jnp.minimum(p, l_max - 1)
-        p = jnp.minimum(p + nonamb_off[bidx, p_idx], jnp.int32(l_max))
+        p = jnp.minimum(p + (postab2[bidx, p_idx] >> 10), jnp.int32(l_max))
         p_idx = jnp.minimum(p, l_max - 1)
 
         active = p < (rlens - min_seed_len)
 
-        km = kmer[bidx, p_idx]
-        valid13 = active & (~amb_in_win[bidx, p_idx])
+        pk1 = postab1[bidx, p_idx]  # amb_in_win<<26 | kmer
+        aoff = postab2[bidx, p_idx] & 1023  # amb_off at the NEW p
+        km = pk1 & ((1 << 26) - 1)
+        valid13 = active & ((pk1 >> 26) == 0)
         lo = jnp.where(valid13, table_lo[km], 0)
         hi = jnp.where(valid13, table_lo[km + 1], 0)
         cnt = hi - lo
@@ -368,7 +392,7 @@ def _kmer_seed_scan_slab(
         overflow = overflow | over
         cnt = jnp.where(over, 0, cnt)
 
-        # compact (lane, hit) pairs into H rows via cumsum + searchsorted
+        # compact (lane, hit) pairs into H rows via cumsum + repeat
         cum = jnp.cumsum(cnt)
         start = cum - cnt
         fits = cum <= H
@@ -382,34 +406,65 @@ def _kmer_seed_scan_slab(
             jnp.arange(B, dtype=jnp.int32), cnt, total_repeat_length=H
         )
         lane_c = jnp.minimum(hit_lane, B - 1)
-        valid_hit = (jhit < total) & fits[lane_c]
-        hit_idx = jhit - start[lane_c]
-        locs = sa_full[jnp.where(valid_hit, lo[lane_c] + hit_idx, 0)]
+
+        # ---- packed per-lane pickup: THREE int32 hit-gathers carry all
+        # per-lane state (start/damb/fits, lo-start, p) — every extra
+        # H-sized gather is ~10-85 ns/element of serialized scalar loads
+        # (r5 xprof), so lane fields ride shared words.
+        # read-side cap damb = min(first-amb-distance, remaining read):
+        # >= 1 at any valid restart, stored -1 in 9 bits (l_max <= 512)
+        damb1 = jnp.clip(jnp.minimum(aoff, rlens - p) - 1, 0, 511)
+        g1 = (
+            (jnp.minimum(start, IDXM) << 11)
+            | (damb1 << 2)
+            | fits.astype(jnp.int32)
+        )
+        g1h = g1[lane_c]
+        start_h = g1h >> 11
+        damb_h = ((g1h >> 2) & 0x1FF) + 1
+        fits_h = (g1h & 1) == 1
+        a_h = (lo - start)[lane_c]  # rows = lo + hit_idx = a + jhit
+
+        valid_hit = (jhit < total) & fits_h
+        hit_idx = jhit - start_h
+        rows = a_h + jhit
+        locs = sa_full[jnp.where(valid_hit, rows, 0)]
         genuine = valid_hit & (locs <= last_valid)
+        # bogus short-suffix rows inside the interval (<= K rows globally):
+        # the maximizer block below is located by CONTIGUITY in SA order,
+        # which an interleaved bogus row would break — such lanes are
+        # flagged for the exact FM re-seed instead (same contract as
+        # hit_cap/budget overflow; outputs stay byte-identical)
+        bogus = valid_hit & (locs > last_valid)
         locs_s = jnp.where(genuine, locs, 0).astype(jnp.int32)
 
         # funnel-aligned text window: W packed words -> W-1 aligned words,
         # laid out TRANSPOSED as (W, H): the minor dimension must be the
         # large one — an (H, W~11) layout wastes ~91% of every (8,128) TPU
-        # tile and made these fusions the scan's hottest ops (r4 xprof:
-        # 1.4 ms per round for a 720 KB elementwise+reduce)
-        twT = text_words[warange[:, None] + (locs_s >> 4)[None, :]]  # (W, H)
+        # tile (r4 xprof); slice-gather formulations measured slower still
+        # (see module note above)
+        twT = text_words[
+            jnp.arange(W, dtype=jnp.int32)[:, None] + (locs_s >> 4)[None, :]
+        ]  # (W, H)
         shT = ((locs_s & 15) * 2).astype(jnp.uint32)[None, :]
         t_alT = (twT[:-1] >> shT) | jnp.where(
             shT > 0, twT[1:] << (jnp.uint32(32) - shT), jnp.uint32(0)
         )
 
-        # per-lane aligned read window at its restart p: (W-1, B)
-        rwT = rwords[bidx[None, :], (p_idx >> 4)[None, :] + warange[:, None]]
-        rshT = ((p_idx & 15) * 2).astype(jnp.uint32)[None, :]
-        r_alT = (rwT[:-1] >> rshT) | jnp.where(
-            rshT > 0, rwT[1:] << (jnp.uint32(32) - rshT), jnp.uint32(0)
+        # per-lane aligned read window at its restart p: (W-1, B) built in
+        # lane space, then one (W-1, H) column gather per hit
+        wr = jnp.arange(W, dtype=jnp.int32)
+        rwT = rwords[bidx[None, :], (p_idx >> 4)[None, :] + wr[:, None]]
+        rshB = ((p_idx & 15) * 2).astype(jnp.uint32)[None, :]
+        r_alB = (rwT[:-1] >> rshB) | jnp.where(
+            rshB > 0, rwT[1:] << (jnp.uint32(32) - rshB), jnp.uint32(0)
         )
+        r_alT = r_alB[:, lane_c]
 
         # LCP via leading-zero-word count + count-trailing-zeros of the
         # first nonzero word, all as (W-1, H) elementwise + short-axis
         # reductions (no per-hit gather of the argmax word)
-        xorT = t_alT ^ r_alT[:, lane_c]  # (W-1, H)
+        xorT = t_alT ^ r_alT  # (W-1, H)
         iszero = (xorT == 0).astype(jnp.uint32)
         prefix_zero = jnp.cumprod(iszero, axis=0)  # 1 while prefix all-zero
         nzw = jnp.sum(prefix_zero, axis=0).astype(jnp.int32)  # leading 0-words
@@ -424,31 +479,38 @@ def _kmer_seed_scan_slab(
         # read-side cap: first ambiguous base AND remaining read length —
         # amb_off alone misses the read end when rlen == l_max (no pad-4
         # sentinel), and the zero-padded read words would match 'A' text
-        damb = jnp.minimum(amb_off[bidx, p_idx], rlens - p)
-        lcp_h = jnp.minimum(lcp_h, jnp.minimum(damb[lane_c], seq_len_i - locs_s))
+        lcp_h = jnp.minimum(lcp_h, jnp.minimum(damb_h, seq_len_i - locs_s))
         lcp_h = jnp.minimum(lcp_h, jnp.int32(l_max))
         lcp_h = jnp.where(genuine, lcp_h, -1)
 
-        # reduce back per lane (invalid rows dump into segment B)
-        seg = jnp.where(genuine, hit_lane, B)
-        best = jnp.maximum(
-            jax.ops.segment_max(lcp_h, seg, num_segments=B + 1)[:B], -1
+        # ---- per-lane reduction: TWO independent packed segment_maxes
+        # (replacing max + sum + min + a best[lane] re-gather).  The
+        # maximal-LCP rows form a CONTIGUOUS sub-interval in SA order
+        # (sorted suffixes: rows between two maximizers share the same
+        # query prefix), so best/freq/first_off all come from the packed
+        # (lcp+1)<<IDXB | idx extrema; a bogus row poisons contiguity and
+        # rides A2's bit 30 into the overflow flag instead.
+        seg = jnp.where(valid_hit, hit_lane, B)
+        idx_c = jnp.clip(hit_idx, 0, IDXM)
+        lc1 = (lcp_h + 1) << IDXB
+        pack_first = jnp.where(genuine, lc1 | (IDXM - idx_c), -1)
+        pack_last = jnp.where(
+            genuine, lc1 | idx_c, jnp.where(bogus, jnp.int32(1) << 30, -1)
         )
+        A1 = jax.ops.segment_max(pack_first, seg, num_segments=B + 1)[:B]
+        A2 = jax.ops.segment_max(pack_last, seg, num_segments=B + 1)[:B]
+        has_bogus = A2 >= (jnp.int32(1) << 30)
+        overflow = overflow | has_bogus
+        best = jnp.maximum(jax.lax.shift_right_arithmetic(A1, IDXB) - 1, -1)
+        first_off = IDXM - (A1 & IDXM)
+        freq = jnp.where(best >= 0, (A2 & IDXM) - first_off + 1, 0)
         has13 = valid13 & (best >= K)
-        is_best = genuine & (lcp_h == best[lane_c])
-        freq = jax.ops.segment_sum(
-            is_best.astype(jnp.int32), seg, num_segments=B + 1
-        )[:B]
-        first_off = jax.ops.segment_min(
-            jnp.where(is_best, hit_idx, H), seg, num_segments=B + 1
-        )[:B]
         row0 = lo + jnp.where(freq > 0, first_off, 0)
 
         # sub-13 exact restart length: ONE bitmask-table gather (bit k of
         # sub_tbl[km] set iff the k-prefix occurs in the genome) + highest
         # set bit allowed by the first-ambiguous offset — replaces the 9
         # per-round bitmap gathers (the round loop is fusion-count-bound)
-        aoff = amb_off[bidx, p_idx]
         msk = sub_tbl[km].astype(jnp.int32)
         allow = msk & ((jnp.int32(1) << (jnp.minimum(aoff, K) + 1)) - 1)
         sub_len = jnp.where(allow > 0, 31 - jax.lax.clz(jnp.maximum(allow, 1)), 0)
@@ -456,22 +518,22 @@ def _kmer_seed_scan_slab(
 
         record = active & has13 & (length >= min_seed_len) & (freq <= OCC_THR) & (freq > 0)
         slot = jnp.where(record, n_seeds, max_seeds)
-        rpos_b = rpos_b.at[bidx, slot].set(p, mode="drop")
-        slen_b = slen_b.at[bidx, slot].set(length, mode="drop")
+        # rpos<<15 | slen packed: one emission scatter fewer per round
+        rs_b = rs_b.at[bidx, slot].set((p << 15) | length, mode="drop")
         k0_b = k0_b.at[bidx, slot].set(row0, mode="drop")
         freq_b = freq_b.at[bidx, slot].set(freq, mode="drop")
         n_seeds = n_seeds + record.astype(jnp.int32)
 
         p = jnp.where(active, p + length + 1, p)
-        return (p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow)
+        return (p, n_seeds, rs_b, k0_b, freq_b, overflow)
 
     z = rlens * 0
     zb = jnp.zeros((B, max_seeds), jnp.int32) + z[:, None]
-    state = (z, z, zb, zb, zb, zb, rlens < 0)
+    state = (z, z, zb, zb, zb, rlens < 0)
     # early-exit round loop: a slab whose lanes all finished stops paying
     # for the remaining rounds (typical Illumina slabs finish in ~8-12 of
     # the `rounds` worst-case budget)
-    _, (p, n_seeds, rpos_b, slen_b, k0_b, freq_b, overflow) = jax.lax.while_loop(
+    _, (p, n_seeds, rs_b, k0_b, freq_b, overflow) = jax.lax.while_loop(
         lambda rs: (rs[0] < rounds)
         & jnp.any(rs[1][0] < (rlens - min_seed_len)),
         lambda rs: (rs[0] + 1, round_body(rs[0], rs[1])),
@@ -479,7 +541,7 @@ def _kmer_seed_scan_slab(
     )
     # a lane is clean iff it ran to completion without interval overflow
     p_idx = jnp.minimum(p, l_max - 1)
-    p_final = jnp.minimum(p + nonamb_off[bidx, p_idx], jnp.int32(l_max))
+    p_final = jnp.minimum(p + (postab2[bidx, p_idx] >> 10), jnp.int32(l_max))
     unfinished = p_final < (rlens - min_seed_len)
     ok = ~(overflow | unfinished)
     # pack into ONE output array: a single device->host transfer (the axon
@@ -488,8 +550,8 @@ def _kmer_seed_scan_slab(
         [
             n_seeds[:, None],
             ok.astype(jnp.int32)[:, None],
-            rpos_b,
-            slen_b,
+            rs_b >> 15,
+            rs_b & 0x7FFF,
             k0_b,
             freq_b,
         ],

@@ -37,9 +37,14 @@ def _amb_bucket(n: int) -> int:
 def pack_reads_2bit(reads_i8: np.ndarray):
     """(B, l_max) int8 codes (0..3, >3 ambiguous) -> (words (B, ceil(L/16))
     uint32, amb_r, amb_p int32 sparse ambiguity coordinates, padded to a
-    capacity bucket with out-of-range rows)."""
+    capacity bucket with out-of-range rows).  One-pass native packer when
+    the C++ library is available (the numpy shift/reshape pipeline was the
+    device pipeline's largest serial host stage: 124 ms per 32k group)."""
     B, L = reads_i8.shape
     nw = -(-L // 16)
+    native = _native_pack(reads_i8, B, L, nw)
+    if native is not None:
+        return native
     amb_mask = reads_i8 > 3
     codes = np.where(amb_mask, 0, reads_i8).astype(np.uint32)
     padded = np.zeros((B, nw * 16), np.uint32)
@@ -53,6 +58,41 @@ def pack_reads_2bit(reads_i8: np.ndarray):
     r[: len(amb_r)] = amb_r
     p[: len(amb_p)] = amb_p
     return words, r, p
+
+
+def _native_pack(reads_i8, B, L, nw):
+    import ctypes
+
+    from ..native.post import load_postlib
+
+    lib = load_postlib()
+    if lib is None or not reads_i8.flags.c_contiguous or reads_i8.dtype != np.int8:
+        return None
+    cap = _AMB_BUCKETS[-1]
+    while True:
+        words = np.empty((B, nw), np.uint32)
+        amb_r = np.full(cap, B, np.int32)
+        amb_p = np.zeros(cap, np.int32)
+        n = lib.kart_pack_reads_2bit(
+            reads_i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int32(B), ctypes.c_int32(L),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int32(nw),
+            amb_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            amb_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap),
+        )
+        if n <= cap:
+            # shrink to the amb bucket (one compile per bucket)
+            b = _amb_bucket(int(n))
+            if b < cap:
+                amb_r2 = np.full(b, B, np.int32)
+                amb_p2 = np.zeros(b, np.int32)
+                amb_r2[:n] = amb_r[:n]
+                amb_p2[:n] = amb_p[:n]
+                return words, amb_r2, amb_p2
+            return words, amb_r, amb_p
+        cap = 1 << int(np.ceil(np.log2(n)))  # rare: N-dense inputs
 
 
 def unpack_reads_device(words, amb_r, amb_p, l_max: int):

@@ -598,11 +598,17 @@ class KartMapper:
 
     def _occ_budget(self, B: int, l_max: int) -> int:
         """Static occurrence budget for the resolved compaction stream
-        (ops/resolve.py).  Illumina reads average ~2.2 occurrences; PacBio
-        sensitive seeding yields roughly one seed per ~13-30 bp window."""
+        (ops/resolve.py).  Illumina reads average ~2.05 occurrences
+        (measured r5, repeat-bearing bench genome; overflowing reads
+        re-seed exactly), so 3x is ~50% headroom while trimming the d2h
+        stream — the device pipeline's largest serial host cost — by 25%.
+        PacBio sensitive seeding yields roughly one seed per ~13-30 bp
+        window.  KART_OCC_BUDGET overrides the Illumina factor."""
         if self.pacbio:
             return B * max(32, l_max // 8)
-        return 4 * B
+        import os
+
+        return int(os.environ.get("KART_OCC_BUDGET", "3")) * B
 
     def _dispatch_seed_async(self, reads_i8, rl, l_max):
         """Dispatch device seeding + on-device occurrence expansion + SA
@@ -733,15 +739,21 @@ class KartMapper:
                 )
         return out
 
-    def _finalize_seed(self, kind, futs, n, max_seeds, reads_i8, rl, l_max):
+    def _finalize_seed(self, kind, futs, n, max_seeds, reads_i8, rl, l_max,
+                       host=None):
         """Materialize a dispatched resolved-seeding batch.  Returns
         (tot, offs, rpos, slen, gpos, overrides): flat per-occurrence
-        arrays plus exact host re-seeds for flagged reads."""
+        arrays plus exact host re-seeds for flagged reads.  `host` may
+        carry the already-materialized (cnts, meta, gpos) from the
+        pipeline's d2h helper thread."""
         from ..ops.pack import unpack_stream
         from ..ops.resolve import decode_resolved_counts
 
         B = reads_i8.shape[0]
-        cnts, meta, gpos = unpack_stream(futs, B, self._occ_budget(B, l_max))
+        if host is not None:
+            cnts, meta, gpos = host
+        else:
+            cnts, meta, gpos = unpack_stream(futs, B, self._occ_budget(B, l_max))
         ok, tot, offs = decode_resolved_counts(cnts)
         rpos = (meta & 0xFFFF).astype(np.int32)
         slen = ((meta >> 16) & 0xFFFF).astype(np.int32)  # logical shift: slen 32768 sets the sign bit
@@ -836,13 +848,18 @@ class KartMapper:
         b_buckets = sorted(set(b_buckets + [G * chunk_sz]))
         # occurrence expansion + SA resolution happen ON DEVICE
         # (ops/resolve.py); the native side consumes the resolved flat
-        # stream and never touches an SA
-        # ring: group k (being post-processed) + group k+1 (being seeded)
-        # + the chunk under prefetch must all stay alive
+        # stream and never touches an SA.
+        # Pipeline depth 2: group k seeds on the device while group k-1's
+        # resolved stream is in flight to the host (copy_to_host_async,
+        # requested as soon as k is dispatched) and group k-2 is being
+        # post-processed — the d2h transfer (the largest serial host cost,
+        # ~0.9 MB/group at ~10-30 MB/s through the relay) overlaps the CPU
+        # post instead of preceding it.
+        depth = max(1, int(os.environ.get("KART_DEVICE_DEPTH", "2")))
+        # ring: depth in-flight groups + the group being posted + prefetch
         reader = NativeReader(path1, path2, fastq, pair_end, self.pacbio,
-                              n_bufs=2 * G + 2)
+                              n_bufs=(depth + 2) * G + 2)
         device_ok = True  # cleared if the relay/worker dies mid-stream
-        prev = None
 
         def _device_died(exc) -> bool:
             """Device/relay failure -> native fallback; host-side bugs
@@ -861,75 +878,132 @@ class KartMapper:
             )
             return True
 
+        import threading
+
+        def _start_host_copy(entry):
+            """Stage the resolved stream's d2h early: request the device
+            copy (non-blocking) AND materialize the numpy arrays on a
+            helper thread — the blocking relay read then overlaps the
+            native post of an older group (C++ releases the GIL)."""
+            if entry["kind"] is None or entry["thread"] is not None:
+                return
+            try:
+                import jax
+
+                for arr in jax.tree.leaves(entry["fut"]):
+                    arr.copy_to_host_async()
+            except Exception:
+                pass
+
+            def work():
+                try:
+                    from ..ops.pack import unpack_stream
+
+                    B = entry["ri"].shape[0]
+                    entry["host"] = unpack_stream(
+                        entry["fut"], B, self._occ_budget(B, entry["lm"])
+                    )
+                except Exception as e:  # surfaced at finalize
+                    entry["err"] = e
+
+            t = threading.Thread(target=work, daemon=True)
+            entry["thread"] = t
+            t.start()
+
+        def _post_group(entry, cur_ref):
+            nonlocal device_ok
+            group0, kind0 = entry["group"], entry["kind"]
+            packed = None
+            if kind0 is not None:
+                n_tot = sum(n for n, _ in group0)
+                try:
+                    if entry["thread"] is not None:
+                        entry["thread"].join()
+                    if entry.get("err") is not None:
+                        raise entry["err"]
+                    packed = self._finalize_seed(
+                        kind0, entry["fut"], n_tot, entry["ms"],
+                        entry["ri"], entry["rl"], entry["lm"],
+                        host=entry.get("host"),
+                    )
+                except Exception as e:
+                    # the TPU worker / axon relay died mid-stream: a
+                    # mapper must not lose the run over it.  The kmer
+                    # seed tables back the native engine too, so the
+                    # remaining groups flow through the all-native
+                    # pipeline (exact same SAM output).
+                    if not _device_died(e):
+                        raise
+                    device_ok = False
+                    for ent in cur_ref:
+                        ent["kind"] = None
+            if packed is not None:
+                row = 0
+                for n0, ptrs0 in group0:
+                    if progress is not None:
+                        progress(self.stats["total"])
+                    cnt, rp, ln, gp = self._chunk_flat(packed, row, row + n0)
+                    writer(
+                        self.native.process_chunk_flat(
+                            n0, pair_end and n0 % 2 == 0 and not self.pacbio,
+                            fastq, ptrs0, cnt, rp, ln, gp, self.stats,
+                        )
+                    )
+                    self.stats["total"] += n0
+                    row += n0
+            else:
+                if not self._native_seeding_ready():
+                    raise RuntimeError(
+                        "device seeding unavailable and no native fallback"
+                    )
+                for n0, ptrs0 in group0:
+                    if progress is not None:
+                        progress(self.stats["total"])
+                    writer(
+                        self.native.process_chunk_ptrs(
+                            n0, pair_end, fastq, ptrs0, self.stats
+                        )
+                    )
+                    self.stats["total"] += n0
+
         try:
-            while True:
-                group = self._read_group(reader, G)
-                cur = None
-                if group and device_ok:
-                    # dispatch is wrapped like finalize: if the relay dies
-                    # BETWEEN groups, the run continues natively (ADVICE r3)
-                    try:
-                        reads_i8, rl, l_max = self._encode_group(group, l_buckets, b_buckets)
-                        kind, fut, ms = self._dispatch_seed_async(reads_i8, rl, l_max)
-                        cur = (group, kind, fut, ms, reads_i8, rl, l_max)
-                    except Exception as e:
-                        if not _device_died(e):
-                            raise
-                        device_ok = False
-                        cur = (group, None, None, 0, None, None, 0)
-                elif group:
-                    cur = (group, None, None, 0, None, None, 0)
-                if prev is not None:
-                    group0, kind0, fut0, ms0, ri0, rl0, lm0 = prev
-                    packed = None
-                    if kind0 is not None:
-                        n_tot = sum(n for n, _ in group0)
-                        try:
-                            packed = self._finalize_seed(
-                                kind0, fut0, n_tot, ms0, ri0, rl0, lm0
-                            )
-                        except Exception as e:
-                            # the TPU worker / axon relay died mid-stream: a
-                            # mapper must not lose the run over it.  The kmer
-                            # seed tables back the native engine too, so the
-                            # remaining groups flow through the all-native
-                            # pipeline (exact same SAM output).
-                            if not _device_died(e):
-                                raise
-                            device_ok = False
-                            if cur is not None and cur[1] is not None:
-                                cur = (cur[0], None, None, 0, None, None, 0)
-                    if packed is not None:
-                        row = 0
-                        for n0, ptrs0 in group0:
-                            if progress is not None:
-                                progress(self.stats["total"])
-                            cnt, rp, ln, gp = self._chunk_flat(packed, row, row + n0)
-                            writer(
-                                self.native.process_chunk_flat(
-                                    n0, pair_end and n0 % 2 == 0 and not self.pacbio,
-                                    fastq, ptrs0, cnt, rp, ln, gp, self.stats,
-                                )
-                            )
-                            self.stats["total"] += n0
-                            row += n0
+            pend: list = []
+            eof = False
+            while not eof or pend:
+                if not eof:
+                    group = self._read_group(reader, G)
+                    if not group:
+                        eof = True
                     else:
-                        if not self._native_seeding_ready():
-                            raise RuntimeError(
-                                "device seeding unavailable and no native fallback"
-                            )
-                        for n0, ptrs0 in group0:
-                            if progress is not None:
-                                progress(self.stats["total"])
-                            writer(
-                                self.native.process_chunk_ptrs(
-                                    n0, pair_end, fastq, ptrs0, self.stats
+                        cur = dict(group=group, kind=None, fut=None, ms=0,
+                                   ri=None, rl=None, lm=0, host=None,
+                                   thread=None, err=None)
+                        if device_ok:
+                            # dispatch is wrapped like finalize: if the
+                            # relay dies BETWEEN groups, the run continues
+                            # natively (ADVICE r3)
+                            try:
+                                reads_i8, rl, l_max = self._encode_group(
+                                    group, l_buckets, b_buckets
                                 )
-                            )
-                            self.stats["total"] += n0
-                prev = cur
-                if not group:
-                    break
+                                kind, fut, ms = self._dispatch_seed_async(
+                                    reads_i8, rl, l_max
+                                )
+                                cur.update(kind=kind, fut=fut, ms=ms,
+                                           ri=reads_i8, rl=rl, lm=l_max)
+                            except Exception as e:
+                                if not _device_died(e):
+                                    raise
+                                device_ok = False
+                        pend.append(cur)
+                        if len(pend) >= 2:
+                            # previous group's compute is ahead of the one
+                            # just dispatched: stage its d2h now
+                            _start_host_copy(pend[-2])
+                if pend and (eof or len(pend) > depth):
+                    if eof and len(pend) == 1:
+                        _start_host_copy(pend[0])
+                    _post_group(pend.pop(0), pend)
         finally:
             reader.close()
 
