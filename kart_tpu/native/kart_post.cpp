@@ -1394,12 +1394,236 @@ static void identify_normal_pairs(int rlen, int glen, std::vector<Seed>& seeds) 
 // Needleman-Wunsch (pipeline/conquer.py / reference nw_alignment.cpp)
 // ---------------------------------------------------------------------------
 
-static const float MAX_PENALTY = -65536.0f;
-static const float OPEN_GAP = -1.0f;
-static const float EXTEND_GAP = -0.5f;
-static const float NEW_GAP = -1.5f;
+// Integer DP with the reference's float semantics: every score the float
+// recurrence can produce is a multiple of 0.5 (match +1.5 / mismatch -1.5 /
+// NEW_GAP -1.5 / EXTEND_GAP -0.5 / OPEN_GAP -1, nw_alignment.cpp:3-6), so
+// doubling maps them to exactly-represented int32s and every max() and
+// backtrace equality compares identically — bit-identical CIGARs.  The DP
+// keeps ROLLING value rows and stores only a 2-bit DECISION plane
+// (S==R, S==T) for the backtrace: 1 byte/cell of memory traffic instead
+// of three 4-byte planes.  (The conquer stage was ~95% NW at ~20 ns/cell;
+// r5 KART_PROF.)
+static const int32_t I_MAX_PENALTY = -131072;  // 2 * -65536
+static const int32_t I_OPEN_GAP = -2;
+static const int32_t I_EXTEND_GAP = -1;
+static const int32_t I_NEW_GAP = -3;
 
-static inline float fmax2(float x, float y) { return x > y ? x : y; }
+static inline int32_t imax2(int32_t x, int32_t y) { return x > y ? x : y; }
+
+#if defined(__AVX2__)
+// Anti-diagonal AVX2 int16 NW: cells on diagonal d = i + j depend only on
+// diagonals d-1 and d-2, so 16 cells compute per vector with the same
+// integer semantics as the scalar DP (scores are small: fragments are
+// <= ~600 bp after the conquer recursion, so |score| < 2000 and the
+// int16 MAX_PENALTY sentinel of -20000 can never equal a real value).
+// Decision bits store in diagonal-major layout; the backtrace re-indexes
+// by (i+j, i).  Returns false when the problem shape prefers scalar.
+static const int16_t D_MAX_PENALTY = -20000;
+
+static bool nw_alignment_diag(std::string& s1, std::string& s2) {
+  int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
+  if (m < 8 || n < 8) return false;  // vector overhead beats tiny DPs
+  if ((int64_t)(m - 1) * 3 + (n - 1) * 3 > 15000) return false;  // int16 margin
+  int nd = m + n - 1;  // diagonals 0..m+n-2
+  thread_local std::vector<int16_t> sd0, sd1, sd2, rd0, rd1, td0, td1;
+  thread_local std::vector<uint8_t> decd, c1v, c2r;
+  thread_local std::vector<int32_t> off;
+  int md = m + 17;  // i-indexed diagonal arrays + vector-tail padding
+  if ((int)sd0.size() < md) {
+    sd0.resize(md); sd1.resize(md); sd2.resize(md);
+    rd0.resize(md); rd1.resize(md); td0.resize(md); td1.resize(md);
+  }
+  if ((int)off.size() < nd + 1) off.resize(nd + 1);
+  if ((int)c1v.size() < m + 16) c1v.resize(m + 16);
+  if ((int)c2r.size() < n + m + 32) c2r.resize(n + m + 32);
+  for (int i = 1; i < m; i++) c1v[i] = NT4[(uint8_t)s1[i - 1]];
+  // c2 reversed with an i-aligned window: sub at (i, d-i) compares
+  // c1v[i] vs c2 code at j-1 = d-i-1; lay out c2r so c2r[base_d + i]
+  // equals it: c2r[(n - 1 - d) + m + i] = code(d - i - 1)
+  // => c2r[m + n - 1 - 1 - (j-1) ... ] i.e. c2r[m + n - 2 - k] = code(k)
+  for (int k = 0; k < n - 1; k++) c2r[m + n - 2 - k] = NT4[(uint8_t)s2[k]];
+  // (indices m+n-2-k for k in [0, n-1) lie within [m, m+n-2]; slots below
+  // m are read only via the masked/garbage vector tails)
+  off[0] = 0;
+  for (int d = 0; d < nd; d++) {
+    int ilo = d - (n - 1) > 0 ? d - (n - 1) : 0;
+    int ihi = d < m - 1 ? d : m - 1;
+    off[d + 1] = off[d] + (ihi - ilo + 1);
+  }
+  // +32: the last diagonal's vector tail writes past its slot (earlier
+  // diagonals' tails land in later slots that are overwritten in order)
+  if (decd.size() < (size_t)off[nd] + 32) decd.resize(off[nd] + 32);
+
+  int16_t* Sd = sd0.data(); int16_t* Sd1 = sd1.data(); int16_t* Sd2 = sd2.data();
+  int16_t* Rd = rd0.data(); int16_t* Rd1 = rd1.data();
+  int16_t* Td = td0.data(); int16_t* Td1 = td1.data();
+  // d = 0: cell (0,0)
+  Sd1[0] = 0; Rd1[0] = 0; Td1[0] = 0;  // R/T at (0,0) unused by interior
+  decd[0] = 1;
+  // d = 1: borders (0,1) and (1,0)
+  Sd[0] = (int16_t)(I_OPEN_GAP + I_EXTEND_GAP); Rd[0] = Sd[0]; Td[0] = D_MAX_PENALTY;
+  Sd[1] = Sd[0]; Td[1] = Sd[0]; Rd[1] = D_MAX_PENALTY;
+  decd[off[1] + 0] = 1;  // (0,1): S==R
+  decd[off[1] + 1] = 2;  // (1,0): S==T
+  std::swap(Sd2, Sd1); std::swap(Sd1, Sd);
+  std::swap(Rd1, Rd); std::swap(Td1, Td);
+  const __m256i vE = _mm256_set1_epi16((int16_t)I_EXTEND_GAP);
+  const __m256i vN = _mm256_set1_epi16((int16_t)I_NEW_GAP);
+  const __m256i vMatch = _mm256_set1_epi16(3);
+  const __m256i vMis = _mm256_set1_epi16(-3);
+  for (int d = 2; d < nd; d++) {
+    int ilo = d - (n - 1) > 0 ? d - (n - 1) : 0;
+    int ihi = d < m - 1 ? d : m - 1;
+    uint8_t* drow = decd.data() + off[d] - ilo;
+    // interior cells: i in [max(1, ilo), min(d-1, ihi)]
+    int a = ilo > 1 ? ilo : 1;
+    int b = (d - 1 < ihi ? d - 1 : ihi);
+    int c2base = (n - 1 - d) + m;  // c2r[c2base + i] == code of s2[d-i-1]
+    for (int i = a; i <= b; i += 16) {
+      __m256i sd1v = _mm256_loadu_si256((const __m256i*)(Sd1 + i));
+      __m256i sd1m = _mm256_loadu_si256((const __m256i*)(Sd1 + i - 1));
+      __m256i rd1v = _mm256_loadu_si256((const __m256i*)(Rd1 + i));
+      __m256i td1m = _mm256_loadu_si256((const __m256i*)(Td1 + i - 1));
+      __m256i sd2m = _mm256_loadu_si256((const __m256i*)(Sd2 + i - 1));
+      __m256i rv = _mm256_max_epi16(_mm256_add_epi16(rd1v, vE),
+                                    _mm256_add_epi16(sd1v, vN));
+      __m256i tv = _mm256_max_epi16(_mm256_add_epi16(td1m, vE),
+                                    _mm256_add_epi16(sd1m, vN));
+      __m128i c1b = _mm_loadu_si128((const __m128i*)(c1v.data() + i));
+      __m128i c2b = _mm_loadu_si128((const __m128i*)(c2r.data() + c2base + i));
+      __m256i eq16 = _mm256_cvtepi8_epi16(_mm_cmpeq_epi8(c1b, c2b));
+      __m256i sub = _mm256_blendv_epi8(vMis, vMatch, eq16);
+      __m256i sv = _mm256_max_epi16(_mm256_max_epi16(_mm256_add_epi16(sd2m, sub), rv), tv);
+      _mm256_storeu_si256((__m256i*)(Rd + i), rv);
+      _mm256_storeu_si256((__m256i*)(Td + i), tv);
+      _mm256_storeu_si256((__m256i*)(Sd + i), sv);
+      __m256i eqr = _mm256_and_si256(_mm256_cmpeq_epi16(sv, rv), _mm256_set1_epi16(1));
+      __m256i eqt = _mm256_and_si256(_mm256_cmpeq_epi16(sv, tv), _mm256_set1_epi16(2));
+      __m256i bits = _mm256_or_si256(eqr, eqt);
+      __m256i packed = _mm256_packus_epi16(bits, bits);  // per-128 lanes
+      __m256i perm = _mm256_permute4x64_epi64(packed, 0x08);
+      _mm_storeu_si128((__m128i*)(drow + i), _mm256_castsi256_si128(perm));
+    }
+    // border cells overwrite any vector-tail garbage
+    if (ilo == 0) {  // (0, d): top row
+      int16_t v = (int16_t)(I_OPEN_GAP + d * I_EXTEND_GAP);
+      Sd[0] = v; Rd[0] = v; Td[0] = D_MAX_PENALTY;
+      drow[0] = 1;
+    }
+    if (ihi == d) {  // (d, 0): left column
+      int16_t v = (int16_t)(I_OPEN_GAP + d * I_EXTEND_GAP);
+      Sd[d] = v; Td[d] = v; Rd[d] = D_MAX_PENALTY;
+      drow[d] = 2;
+    }
+    // rotate: Sd2 <- Sd1 <- Sd; Rd1 <- Rd; Td1 <- Td
+    int16_t* tmp = Sd2; Sd2 = Sd1; Sd1 = Sd; Sd = tmp;
+    tmp = Rd1; Rd1 = Rd; Rd = tmp;
+    tmp = Td1; Td1 = Td; Td = tmp;
+  }
+  // backtrace from the diagonal-major decision plane
+  thread_local std::string o1, o2;
+  o1.clear(); o2.clear();
+  int i = m - 1, j = n - 1;
+  while (i > 0 || j > 0) {
+    int d = i + j;
+    int ilo = d - (n - 1) > 0 ? d - (n - 1) : 0;
+    uint8_t dc = decd[off[d] + (i - ilo)];
+    if (dc & 1) {
+      o1.push_back('-'); o2.push_back(s2[j - 1]); j--;
+    } else if (dc & 2) {
+      o1.push_back(s1[i - 1]); o2.push_back('-'); i--;
+    } else {
+      o1.push_back(s1[i - 1]); o2.push_back(s2[j - 1]); i--; j--;
+    }
+  }
+  s1.assign(o1.rbegin(), o1.rend());
+  s2.assign(o2.rbegin(), o2.rend());
+  return true;
+}
+#else
+static bool nw_alignment_diag(std::string&, std::string&) { return false; }
+#endif
+
+static void nw_alignment_scalar(std::string& s1, std::string& s2) {
+  int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
+  // rolling rows + decision plane are per-thread scratch: fragments are
+  // ~20 bp on average and nw runs for every gapped fragment, so per-call
+  // heap traffic dominated the conquer stage
+  thread_local std::vector<int32_t> srow_a, srow_b, trow_a, trow_b;
+  thread_local std::vector<uint8_t> dec;  // bit0: S==R, bit1: S==T
+  thread_local std::vector<uint8_t> c2v;
+  if ((int)srow_a.size() < n) {
+    srow_a.resize(n);
+    srow_b.resize(n);
+    trow_a.resize(n);
+    trow_b.resize(n);
+  }
+  if (dec.size() < (size_t)m * n) dec.resize((size_t)m * n);
+  if ((int)c2v.size() < n) c2v.resize(n);
+  for (int j = 1; j < n; j++) c2v[j] = NT4[(uint8_t)s2[j - 1]];
+
+  int32_t* sprev = srow_a.data();
+  int32_t* scur = srow_b.data();
+  int32_t* tprev = trow_a.data();
+  int32_t* tcur = trow_b.data();
+  // row 0: S == R everywhere (T is MAX_PENALTY)
+  sprev[0] = 0;
+  tprev[0] = 0;
+  dec[0] = 1;
+  for (int j = 1; j < n; j++) {
+    sprev[j] = I_OPEN_GAP + j * I_EXTEND_GAP;
+    tprev[j] = I_MAX_PENALTY;
+    dec[j] = 1;  // S(0,j) == R(0,j)
+  }
+  for (int i = 1; i < m; i++) {
+    uint8_t c1 = NT4[(uint8_t)s1[i - 1]];
+    int32_t sdiag = sprev[0];  // S(i-1, 0)
+    int32_t s0 = I_OPEN_GAP + i * I_EXTEND_GAP;
+    scur[0] = s0;  // S(i,0) == T(i,0); R(i,0) is MAX_PENALTY
+    tcur[0] = s0;
+    int32_t rprev = I_MAX_PENALTY;
+    uint8_t* drow = dec.data() + (size_t)i * n;
+    drow[0] = 2;
+    for (int j = 1; j < n; j++) {
+      int32_t rv = imax2(rprev + I_EXTEND_GAP, scur[j - 1] + I_NEW_GAP);
+      int32_t tv = imax2(tprev[j] + I_EXTEND_GAP, sprev[j] + I_NEW_GAP);
+      int32_t sub = (c1 == c2v[j]) ? 3 : -3;
+      int32_t sv = imax2(imax2(sdiag + sub, rv), tv);
+      sdiag = sprev[j];
+      scur[j] = sv;
+      tcur[j] = tv;
+      rprev = rv;
+      drow[j] = (uint8_t)((sv == rv) | ((sv == tv) << 1));
+    }
+    std::swap(sprev, scur);
+    std::swap(tprev, tcur);
+  }
+  // backtrace from the decision plane: prefer r, then t
+  // (nw_alignment.cpp:61-68)
+  thread_local std::string o1, o2;
+  o1.clear();
+  o2.clear();
+  int i = m - 1, j = n - 1;
+  while (i > 0 || j > 0) {
+    uint8_t d = dec[(size_t)i * n + j];
+    if (d & 1) {
+      o1.push_back('-');
+      o2.push_back(s2[j - 1]);
+      j--;
+    } else if (d & 2) {
+      o1.push_back(s1[i - 1]);
+      o2.push_back('-');
+      i--;
+    } else {
+      o1.push_back(s1[i - 1]);
+      o2.push_back(s2[j - 1]);
+      i--;
+      j--;
+    }
+  }
+  s1.assign(o1.rbegin(), o1.rend());
+  s2.assign(o2.rbegin(), o2.rend());
+}
 
 static void nw_alignment(std::string& s1, std::string& s2) {
   int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
@@ -1414,62 +1638,8 @@ static void nw_alignment(std::string& s1, std::string& s2) {
     // unchanged; skip the DP entirely (bit-exact with nw_alignment.cpp:18)
     return;
   }
-  // DP planes + output builders are per-thread scratch: fragments are ~20 bp
-  // on average and nw runs for every gapped fragment, so per-call heap
-  // traffic dominated the conquer stage
-  thread_local std::vector<float> r, t, s;
-  size_t need = (size_t)m * n;
-  if (r.size() < need) {
-    r.resize(need);
-    t.resize(need);
-    s.resize(need);
-  }
-  auto R = [&](int i, int j) -> float& { return r[(size_t)i * n + j]; };
-  auto T = [&](int i, int j) -> float& { return t[(size_t)i * n + j]; };
-  auto S = [&](int i, int j) -> float& { return s[(size_t)i * n + j]; };
-  R(0, 0) = T(0, 0) = S(0, 0) = 0;
-  for (int i = 1; i < m; i++) {
-    R(i, 0) = MAX_PENALTY;
-    S(i, 0) = T(i, 0) = OPEN_GAP + i * EXTEND_GAP;
-  }
-  for (int j = 1; j < n; j++) {
-    T(0, j) = MAX_PENALTY;
-    S(0, j) = R(0, j) = OPEN_GAP + j * EXTEND_GAP;
-  }
-  for (int i = 1; i < m; i++) {
-    uint8_t c1 = NT4[(uint8_t)s1[i - 1]];
-    for (int j = 1; j < n; j++) {
-      float rv = fmax2(R(i, j - 1) + EXTEND_GAP, S(i, j - 1) + NEW_GAP);
-      float tv = fmax2(T(i - 1, j) + EXTEND_GAP, S(i - 1, j) + NEW_GAP);
-      float sub = (c1 == NT4[(uint8_t)s2[j - 1]]) ? 1.5f : -1.5f;
-      R(i, j) = rv;
-      T(i, j) = tv;
-      S(i, j) = fmax2(fmax2(S(i - 1, j - 1) + sub, rv), tv);
-    }
-  }
-  // backtrace: prefer r, then t (nw_alignment.cpp:61-68)
-  thread_local std::string o1, o2;
-  o1.clear();
-  o2.clear();
-  int i = m - 1, j = n - 1;
-  while (i > 0 || j > 0) {
-    if (S(i, j) == R(i, j)) {
-      o1.push_back('-');
-      o2.push_back(s2[j - 1]);
-      j--;
-    } else if (S(i, j) == T(i, j)) {
-      o1.push_back(s1[i - 1]);
-      o2.push_back('-');
-      i--;
-    } else {
-      o1.push_back(s1[i - 1]);
-      o2.push_back(s2[j - 1]);
-      i--;
-      j--;
-    }
-  }
-  s1.assign(o1.rbegin(), o1.rend());
-  s2.assign(o2.rbegin(), o2.rend());
+  if (nw_alignment_diag(s1, s2)) return;
+  nw_alignment_scalar(s1, s2);
 }
 
 // ---------------------------------------------------------------------------
@@ -2866,10 +3036,13 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
         printf("Mapping single read#%d %.*s (len=%d):\n", i + 1, st.header_len,
                st.header, st.rlen);
     }
+    bool prof = prof_on();
+    int64_t t0 = prof ? now_ns() : 0;
     if (pre)
       raw_to_sorted_seeds(false, raw[i - lo], seeds);
     else
       collect_seeds(ctx, in, i, seed_base[i], seeds);
+    int64_t t1 = prof ? now_ns() : 0;
     recycle_cands(cands);
     if (ctx.pacbio) {
       gen_candidates_pacbio(st.rlen, seeds, cands);
@@ -2878,15 +3051,25 @@ static void process_single_range(const Ctx& ctx, const ChunkIn& in,
       gen_candidates_illumina(ctx, st.rlen, seeds, cands);
       remove_redundant(cands, false);
     }
+    int64_t t2 = prof ? now_ns() : 0;
     if (g_debug)  // Mapping.cpp:524 / :589
       show_alignment_candidate_info(ctx, true, st.header, st.header_len, cands);
     gen_mapping_report(ctx, true, st, cands);
+    int64_t t3 = prof ? now_ns() : 0;
     set_single_flag(st);
     evaluate_mapq(ctx, st);
     if (g_debug && !ctx.pacbio)  // Mapping.cpp:594
       printf("\nEnd of mapping for read#%.*s\n%s\n", st.header_len, st.header,
              std::string(100, '=').c_str());
     output_single(ctx, st, in.fastq, ost, out);
+    if (prof) {
+      int64_t t4 = now_ns();
+      g_prof.seed += t1 - t0;
+      g_prof.cand += t2 - t1;
+      g_prof.report += t3 - t2;
+      g_prof.fmt += t4 - t3;
+      g_prof.reads += 1;
+    }
   }
 }
 
@@ -3255,10 +3438,15 @@ static int64_t process_chunk_impl(Ctx& ctx, const ChunkIn& in, int64_t* stats,
   int nt = ctx.n_threads;
   OutStats st;
   std::string out;
-  if (nt > 1 && n_reads >= 64) {
+  // PacBio chunks hold only 10 reads (GetData.cpp:140) but each read costs
+  // ~1 ms — without the small block size they fell under the threading
+  // threshold and the whole PacBio pipeline ran single-threaded (r5
+  // KART_PROF: summed-stage time was half the wall time)
+  int min_par = ctx.pacbio ? 2 : 64;
+  if (nt > 1 && n_reads >= min_par && !g_debug) {
     // work stealing over fixed blocks: no straggler tail, and the block
     // table keeps output order deterministic (in-order concat)
-    const int BS = 128;  // reads per block (even: pairs stay together)
+    const int BS = ctx.pacbio ? 2 : 128;  // reads per block (even: pairs stay together)
     int n_blocks = (n_reads + BS - 1) / BS;
     std::vector<std::string> bouts(n_blocks);
     std::vector<OutStats> tstats(nt);
@@ -3458,6 +3646,32 @@ int64_t kart_pack_reads_2bit(const int8_t* reads, int32_t B, int32_t l_max,
     }
   }
   return n_amb;
+}
+
+// Test-only: run one NW alignment, forcing the scalar DP when `scalar`
+// is nonzero (else the production dispatch: AVX2 anti-diagonal with
+// scalar fallback), returning the aligned pair null-joined in `out`
+// (caller provides cap bytes; returns the needed size).  Lets the pytest
+// fuzz harness compare the two implementations pair-for-pair
+// (tests/test_nw_kernel.py).
+int64_t kart_nw_debug(const char* a, const char* b, int32_t scalar,
+                      char* out, int64_t cap) {
+  std::string s1(a), s2(b);
+  int m = (int)s1.size() + 1, n = (int)s2.size() + 1;
+  if (!(m == 2 && n == 2)) {
+    if (scalar)
+      nw_alignment_scalar(s1, s2);
+    else
+      nw_alignment(s1, s2);
+  }
+  int64_t need = (int64_t)s1.size() + 1 + (int64_t)s2.size() + 1;
+  if (need <= cap) {
+    memcpy(out, s1.data(), s1.size());
+    out[s1.size()] = '\0';
+    memcpy(out + s1.size() + 1, s2.data(), s2.size());
+    out[s1.size() + 1 + s2.size()] = '\0';
+  }
+  return need;
 }
 
 void kart_free(char* p) { free(p); }

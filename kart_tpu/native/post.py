@@ -86,6 +86,11 @@ def load_postlib():
         i32p, ctypes.c_int32,
         i64p, ctypes.POINTER(ctypes.c_char_p),
     ]
+    lib.kart_nw_debug.restype = ctypes.c_int64
+    lib.kart_nw_debug.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
     lib.kart_pack_reads_2bit.restype = ctypes.c_int64
     lib.kart_pack_reads_2bit.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int32, ctypes.c_int32,

@@ -61,6 +61,47 @@ def test_huge_index_byte_parity():
         assert ours == ref, f".{ext} differs"
 
 
+def test_huge_native_fm_sampled_no_saf():
+    """VERDICT r4 #3 done-criterion: pure-CPU mapping of the 2.2e9-text
+    index through the native FM seeder + inverse-Psi sampled-SA walks —
+    no .saf, no full SA, no kmer tables — golden vs the reference binary,
+    in reference-class memory (<8 GB RSS)."""
+    import resource
+
+    from kart_tpu import cli as kart_cli
+
+    fa, r1, r2 = _ensure_assets()
+    if not have_reference():
+        pytest.skip("reference oracle not built")
+    ref = HUGE / "ref.sam"
+    if not ref.exists():
+        subprocess.run(
+            [str(REFBUILD / "bin" / "kart"), "-t", "1", "-i", str(HUGE / "refidx"),
+             "-f", str(r1), "-f2", str(r2), "-o", str(ref)],
+            check=True, capture_output=True,
+        )
+    ours = HUGE / "ours_fm.sam"
+    env = dict(os.environ, KART_SA_MODE="sampled")
+    # subprocess so RSS reflects THIS configuration only
+    import sys as _sys
+
+    pr = subprocess.run(
+        [_sys.executable, "-m", "kart_tpu.cli", "-i", str(HUGE / "idx"),
+         "-f", str(r1), "-f2", str(r2), "-o", str(ours), "-cpu", "-silent"],
+        env=env, capture_output=True, text=True,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert pr.returncode == 0, pr.stderr[-2000:]
+
+    def records(p):
+        return [ln for ln in p.read_text().splitlines() if not ln.startswith("@")]
+
+    assert records(ours) == records(ref)
+    # peak RSS of the child tree (the mapper subprocess)
+    rss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    assert rss_kb < 8 * 1024 * 1024, f"peak RSS {rss_kb / 1024:.0f} MB >= 8 GB"
+
+
 def test_huge_genome_golden_sam():
     """Map PE reads on the 2.2e9-text index with the i64 device FM seeding
     path (k-mer tables gate out) + native post; bit-identical to the

@@ -90,3 +90,54 @@ def test_nw_beyond_tiles_host_fallback():
     assert nw_stats["host"] - before["host"] == len(pairs)
     for k, (a, b) in enumerate(pairs):
         assert got[k] == nw_alignment(a, b)
+
+
+def test_native_nw_simd_matches_scalar_fuzz():
+    """The native AVX2 anti-diagonal NW must produce the identical aligned
+    pair (same backtrace, not just same score) as the scalar rolling-row
+    DP on thousands of random fragment pairs spanning the production size
+    range (2..300 bp, equal and skewed lengths, shared prefixes like real
+    conquer fragments)."""
+    import ctypes
+
+    from kart_tpu.native.post import load_postlib
+
+    lib = load_postlib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    def run(a: bytes, b: bytes, scalar: int):
+        cap = 4 * (len(a) + len(b) + 4)
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.kart_nw_debug(a, b, ctypes.c_int32(scalar), buf, ctypes.c_int64(cap))
+        assert n <= cap
+        raw = buf.raw[: n - 1]
+        s1, s2 = raw.split(b"\0", 1)
+        return s1, s2.rstrip(b"\0")
+
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def frag(L):
+        return bases[rng.integers(0, 4, L)].tobytes()
+
+    cases = []
+    for _ in range(800):
+        la = int(rng.integers(2, 40))
+        lb = max(1, la + int(rng.integers(-5, 6)))
+        a = frag(la)
+        # related fragment: share content with errors (like real conquer input)
+        b = bytearray(a[:lb].ljust(lb, b"A"))
+        for _ in range(int(rng.integers(0, 4))):
+            b[rng.integers(0, lb)] = bases[rng.integers(0, 4)]
+        cases.append((a, bytes(b)))
+    for _ in range(200):
+        la = int(rng.integers(8, 300))
+        lb = int(rng.integers(8, 300))
+        cases.append((frag(la), frag(lb)))
+    cases += [(b"A" * 8, b"A" * 8), (b"ACGTACGT", b"TGCATGCA"),
+              (b"A" * 299, b"A" * 7), (b"A" * 7, b"C" * 299)]
+    for a, b in cases:
+        assert run(a, b, 0) == run(a, b, 1), (a, b)
