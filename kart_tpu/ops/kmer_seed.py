@@ -255,7 +255,9 @@ _HIT_BUDGET = int(_os.environ.get("KART_HIT_BUDGET", "4"))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len")
+    jax.jit,
+    static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len",
+                     "sensitive"),
 )
 def kmer_seed_scan(
     table_lo,
@@ -271,19 +273,27 @@ def kmer_seed_scan(
     hit_cap,
     rounds,
     seq_len,
+    sensitive=False,
 ):
-    """Direct-lookup FastMode seeding (slab-batched over _SLAB_ROWS).
+    """Direct-lookup seeding (slab-batched over _SLAB_ROWS).
 
     reads: (B, l_max) int32 codes padded with 4.  Returns the seed_scan
     schema — (B, max_seeds) rpos/slen/k0/freq + (B,) n_seeds — where k0
     is the SA row of the first maximal occurrence, plus (B,) bool `ok`.
-    """
+
+    sensitive=False: FastMode (IdentifySeedPairs_FastMode) — restart at
+    p + len + 1, exact sub-13 restart lengths from the presence table.
+    sensitive=True: SensitiveMode (IdentifySeedPairs_SensitiveMode,
+    reference src/AlignmentCandidates.cpp:132-169) — extensions window-
+    capped at 30 bp (so the funnel needs only W=4 words per hit even for
+    32 kb PacBio reads), restart at p + len on success and p + MinSeed on
+    failure; no sub-13 table (failures always advance MinSeed)."""
     B = reads.shape[0]
     if B <= _SLAB_ROWS:
         return _kmer_seed_scan_slab(
             table_lo, text_words, sa_full, sub_tbl, reads, rlens, min_seed_len,
             max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
-            seq_len=seq_len,
+            seq_len=seq_len, sensitive=sensitive,
         )
     ns = -(-B // _SLAB_ROWS)
     pad = ns * _SLAB_ROWS - B
@@ -294,7 +304,7 @@ def kmer_seed_scan(
         lambda rr: _kmer_seed_scan_slab(
             table_lo, text_words, sa_full, sub_tbl, rr[0], rr[1], min_seed_len,
             max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
-            seq_len=seq_len,
+            seq_len=seq_len, sensitive=sensitive,
         ),
         (
             reads.reshape(ns, _SLAB_ROWS, l_max),
@@ -318,6 +328,7 @@ def _kmer_seed_scan_slab(
     hit_cap,
     rounds,
     seq_len,
+    sensitive=False,
 ):
     """One slab of the direct-lookup scan (see kmer_seed_scan)."""
     B = reads.shape[0]
@@ -341,10 +352,19 @@ def _kmer_seed_scan_slab(
     amb_off, nonamb_off = _distance_tables(amb, l_max)
     # packed per-position tables: one (B,) take-along gather per round
     # instead of two (every serialized gather in the round loop costs
-    # ~10-85 ns/element on v5e — r5 xprof)
-    assert l_max <= 512, "packed round-body fields assume l_max <= 512"
+    # ~10-85 ns/element on v5e — r5 xprof).  Offsets clamp to 15/16-bit
+    # fields; a clamped skip still deactivates the lane (p + 32767 passes
+    # every end_pos for l_max <= 32768)
+    assert l_max <= (32768 if sensitive else 512), "packed field widths"
     postab1 = kmer | (amb_in_win.astype(jnp.int32) << 26)
-    postab2 = (nonamb_off << 10) | amb_off
+    postab2 = (jnp.minimum(nonamb_off, 0x7FFF) << 16) | jnp.minimum(
+        amb_off, 0xFFFF
+    )
+    # sensitive windows cap extensions at 30 bp; damb field width + the
+    # rs emission packing shift follow the mode
+    WIN = 30 if sensitive else l_max
+    DB = 5 if sensitive else 10  # damb-1 bits (<= 30 / <= 512)
+    RS = 5 if sensitive else 15  # slen bits in the rs pack (<=30 / <=512)
 
     # ---- word-packed extension compare setup ------------------------------
     # Hits from all lanes are compacted into a fixed budget of H rows per
@@ -359,7 +379,10 @@ def _kmer_seed_scan_slab(
     # covers the FULL possible extension: W-1 aligned words = (W-1)*16
     # bases >= l_max (ADVICE r3: a fixed W=13 saturated the LCP at 192
     # bases, silently truncating exact matches on reads longer than that)
-    W = (l_max + 15) // 16 + 2
+    # sensitive extensions are <= WIN=30 bases, so W-1=3 aligned words
+    # cover them even on 32 kb reads; FastMode needs the full read span
+    # (ADVICE r3: a fixed short W silently truncated long exact matches)
+    W = 4 if sensitive else (l_max + 15) // 16 + 2
     shifts16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     nwr = (l_max + 15) // 16 + W + 1
     rc = jnp.where(amb, 0, reads).astype(jnp.uint32)
@@ -376,13 +399,13 @@ def _kmer_seed_scan_slab(
         p, n_seeds, rs_b, k0_b, freq_b, overflow = state
         # bulk-skip ambiguous restart positions (EncodeSeq[pos]>3 -> pos++)
         p_idx = jnp.minimum(p, l_max - 1)
-        p = jnp.minimum(p + (postab2[bidx, p_idx] >> 10), jnp.int32(l_max))
+        p = jnp.minimum(p + (postab2[bidx, p_idx] >> 16), jnp.int32(l_max))
         p_idx = jnp.minimum(p, l_max - 1)
 
         active = p < (rlens - min_seed_len)
 
         pk1 = postab1[bidx, p_idx]  # amb_in_win<<26 | kmer
-        aoff = postab2[bidx, p_idx] & 1023  # amb_off at the NEW p
+        aoff = postab2[bidx, p_idx] & 0xFFFF  # amb_off at the NEW p
         km = pk1 & ((1 << 26) - 1)
         valid13 = active & ((pk1 >> 26) == 0)
         lo = jnp.where(valid13, table_lo[km], 0)
@@ -411,17 +434,20 @@ def _kmer_seed_scan_slab(
         # per-lane state (start/damb/fits, lo-start, p) — every extra
         # H-sized gather is ~10-85 ns/element of serialized scalar loads
         # (r5 xprof), so lane fields ride shared words.
-        # read-side cap damb = min(first-amb-distance, remaining read):
-        # >= 1 at any valid restart, stored -1 in 9 bits (l_max <= 512)
-        damb1 = jnp.clip(jnp.minimum(aoff, rlens - p) - 1, 0, 511)
+        # read-side extension cap damb = min(first-amb-distance, remaining
+        # read, window): >= 1 at any valid restart, stored -1 in DB bits
+        damb1 = jnp.clip(
+            jnp.minimum(jnp.minimum(aoff, rlens - p), WIN) - 1,
+            0, (1 << DB) - 1,
+        )
         g1 = (
-            (jnp.minimum(start, IDXM) << 11)
+            (jnp.minimum(start, (1 << (29 - DB)) - 1) << (DB + 2))
             | (damb1 << 2)
             | fits.astype(jnp.int32)
         )
         g1h = g1[lane_c]
-        start_h = g1h >> 11
-        damb_h = ((g1h >> 2) & 0x1FF) + 1
+        start_h = g1h >> (DB + 2)
+        damb_h = ((g1h >> 2) & ((1 << DB) - 1)) + 1
         fits_h = (g1h & 1) == 1
         a_h = (lo - start)[lane_c]  # rows = lo + hit_idx = a + jhit
 
@@ -507,24 +533,40 @@ def _kmer_seed_scan_slab(
         has13 = valid13 & (best >= K)
         row0 = lo + jnp.where(freq > 0, first_off, 0)
 
-        # sub-13 exact restart length: ONE bitmask-table gather (bit k of
-        # sub_tbl[km] set iff the k-prefix occurs in the genome) + highest
-        # set bit allowed by the first-ambiguous offset — replaces the 9
-        # per-round bitmap gathers (the round loop is fusion-count-bound)
-        msk = sub_tbl[km].astype(jnp.int32)
-        allow = msk & ((jnp.int32(1) << (jnp.minimum(aoff, K) + 1)) - 1)
-        sub_len = jnp.where(allow > 0, 31 - jax.lax.clz(jnp.maximum(allow, 1)), 0)
-        length = jnp.where(has13, best, sub_len)
+        if sensitive:
+            # SensitiveMode: failures advance MinSeedLength from the seed
+            # START regardless of the partial extension, so no sub-13
+            # length is needed (AlignmentCandidates.cpp:160-166)
+            length = jnp.where(has13, best, 0)
+        else:
+            # sub-13 exact restart length: ONE bitmask-table gather (bit k
+            # of sub_tbl[km] set iff the k-prefix occurs in the genome) +
+            # highest set bit allowed by the first-ambiguous offset —
+            # replaces the 9 per-round bitmap gathers (the round loop is
+            # fusion-count-bound)
+            msk = sub_tbl[km].astype(jnp.int32)
+            allow = msk & ((jnp.int32(1) << (jnp.minimum(aoff, K) + 1)) - 1)
+            sub_len = jnp.where(
+                allow > 0, 31 - jax.lax.clz(jnp.maximum(allow, 1)), 0
+            )
+            length = jnp.where(has13, best, sub_len)
 
         record = active & has13 & (length >= min_seed_len) & (freq <= OCC_THR) & (freq > 0)
         slot = jnp.where(record, n_seeds, max_seeds)
-        # rpos<<15 | slen packed: one emission scatter fewer per round
-        rs_b = rs_b.at[bidx, slot].set((p << 15) | length, mode="drop")
+        # rpos << RS | slen packed: one emission scatter fewer per round
+        rs_b = rs_b.at[bidx, slot].set((p << RS) | length, mode="drop")
         k0_b = k0_b.at[bidx, slot].set(row0, mode="drop")
         freq_b = freq_b.at[bidx, slot].set(freq, mode="drop")
         n_seeds = n_seeds + record.astype(jnp.int32)
 
-        p = jnp.where(active, p + length + 1, p)
+        if sensitive:
+            # success: restart AT the extension end; failure: MinSeed from
+            # the seed start (reference sensitive-mode advance rules)
+            p = jnp.where(
+                active, jnp.where(record, p + length, p + min_seed_len), p
+            )
+        else:
+            p = jnp.where(active, p + length + 1, p)
         return (p, n_seeds, rs_b, k0_b, freq_b, overflow)
 
     z = rlens * 0
@@ -541,7 +583,7 @@ def _kmer_seed_scan_slab(
     )
     # a lane is clean iff it ran to completion without interval overflow
     p_idx = jnp.minimum(p, l_max - 1)
-    p_final = jnp.minimum(p + (postab2[bidx, p_idx] >> 10), jnp.int32(l_max))
+    p_final = jnp.minimum(p + (postab2[bidx, p_idx] >> 16), jnp.int32(l_max))
     unfinished = p_final < (rlens - min_seed_len)
     ok = ~(overflow | unfinished)
     # pack into ONE output array: a single device->host transfer (the axon
@@ -550,8 +592,8 @@ def _kmer_seed_scan_slab(
         [
             n_seeds[:, None],
             ok.astype(jnp.int32)[:, None],
-            rs_b >> 15,
-            rs_b & 0x7FFF,
+            rs_b >> RS,
+            rs_b & ((1 << RS) - 1),
             k0_b,
             freq_b,
         ],

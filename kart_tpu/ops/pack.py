@@ -227,12 +227,12 @@ def sensitive_scan_resolved_packed(fm: FMIndexArrays, words, amb_r, amb_p,
 @functools.partial(
     jax.jit,
     static_argnames=("max_seeds", "l_max", "hit_cap", "rounds", "seq_len",
-                     "occ_budget"),
+                     "occ_budget", "sensitive"),
 )
 def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, sub_tbl,
                                    words, amb_r, amb_p, rlens, min_seed_len,
                                    *, max_seeds, l_max, hit_cap, rounds,
-                                   seq_len, occ_budget):
+                                   seq_len, occ_budget, sensitive=False):
     from .kmer_seed import kmer_seed_scan, unpack_seed_result
     from .resolve import expand_resolve
 
@@ -240,7 +240,7 @@ def kmer_seed_scan_resolved_packed(table_lo, text_words, sa_full, sub_tbl,
     packed = kmer_seed_scan(
         table_lo, text_words, sa_full, sub_tbl, reads, rlens, min_seed_len,
         max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap, rounds=rounds,
-        seq_len=seq_len,
+        seq_len=seq_len, sensitive=sensitive,
     )
     out = unpack_seed_result(packed, max_seeds)
     return _pack_stream(*expand_resolve(

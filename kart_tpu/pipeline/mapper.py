@@ -605,7 +605,9 @@ class KartMapper:
         PacBio sensitive seeding yields roughly one seed per ~13-30 bp
         window.  KART_OCC_BUDGET overrides the Illumina factor."""
         if self.pacbio:
-            return B * max(32, l_max // 8)
+            # measured r5 (5-7 kb reads, 15% error): ~19 occurrences/kb,
+            # max ~30/kb; l_max/24 is ~2x headroom (overflow re-seeds)
+            return B * max(64, l_max // 24)
         import os
 
         return int(os.environ.get("KART_OCC_BUDGET", "3")) * B
@@ -636,6 +638,21 @@ class KartMapper:
         sa_mode = self._device_sa_mode()
         if self.pacbio:
             max_seeds = l_max // self.min_seed_len + 2
+            tb = self._get_kmer_tables()
+            if tb is not None:
+                # direct-lookup SensitiveMode: the 30-bp window caps the
+                # funnel at W=4 words per hit, and the round count is
+                # ~rlen/MinSeed instead of the FM stepper's ~2 trips/base
+                # (a 7 kb read: ~550 rounds vs ~14k sequential steps)
+                hit_cap = int(max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1)))))
+                futs = kmer_seed_scan_resolved_packed(
+                    tb.table_lo, tb.text_words, tb.sa_full, tb.sub_tbl,
+                    words, amb_r, amb_p, rl_d, msl,
+                    max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap,
+                    rounds=l_max // self.min_seed_len + 8,
+                    seq_len=tb.seq_len, occ_budget=budget, sensitive=True,
+                )
+                return "resolved", futs, 0
             futs = sensitive_scan_resolved_packed(
                 self.fm_dev, words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
@@ -842,7 +859,11 @@ class KartMapper:
         b_buckets = _PB_B_BUCKETS if self.pacbio else _B_BUCKETS
         import os
 
-        G = max(1, int(os.environ.get("KART_DEVICE_GROUP", "8")))
+        # PacBio chunks are 10 reads; amortizing the relay dispatch and the
+        # sensitive funnel's ~per-round fixed cost needs far more lanes in
+        # flight than Illumina's 4000-read chunks
+        g_default = "64" if self.pacbio else "8"
+        G = max(1, int(os.environ.get("KART_DEVICE_GROUP", g_default)))
         # fused-group batch buckets: steady state is G full chunks
         chunk_sz = 10 if self.pacbio else 4000
         b_buckets = sorted(set(b_buckets + [G * chunk_sz]))

@@ -274,3 +274,55 @@ def test_kmer_table_sidecar_cache(tiny_index, workdir):
     assert (cached.seq_len, cached.max_mult, cached.all_short_present) == (
         fresh.seq_len, fresh.max_mult, fresh.all_short_present,
     )
+
+
+def test_kmer_sensitive_scan_matches_fm_sensitive(tiny_index):
+    """The direct-lookup SensitiveMode scan (kmer funnel with 30-bp window
+    caps and sensitive advance rules) must emit exactly the seed stream of
+    the FM sensitive_scan / host windowed BWT_Search chain — same seeds,
+    same SA-interval starts, same occurrence counts."""
+    from kart_tpu.ops.fm_search import sensitive_scan
+    from kart_tpu.ops.kmer_seed import build_tables, kmer_seed_scan, unpack_seed_result
+
+    fm_dev = FMIndexArrays.from_genome_index(tiny_index)
+    tb = build_tables(tiny_index, cache=False)
+    min_seed = 13
+    rlen = 700
+    n = 12
+    rng = np.random.default_rng(11)
+    codes = tiny_index.ref_codes
+    reads = np.empty((n, rlen), np.int32)
+    for i in range(n):
+        p = rng.integers(0, tiny_index.two_genome_size - rlen)
+        r = codes[p : p + rlen].astype(np.int32)
+        nmut = rng.binomial(rlen, 0.15)  # PacBio-grade error
+        idx = rng.integers(0, rlen, size=nmut)
+        r[idx] = (r[idx] + rng.integers(1, 4, size=nmut)) % 4
+        if i % 3 == 0:
+            r[rng.integers(0, rlen, 4)] = 4  # ambiguity
+        reads[i] = r
+    rlens = np.full(n, rlen, np.int32)
+    ms = rlen // min_seed + 2
+
+    want = np.asarray(
+        sensitive_scan(fm_dev, reads, rlens, np.int32(min_seed),
+                       max_seeds=ms, l_max=rlen)
+    )
+    hit_cap = int(max(16, 1 << int(np.ceil(np.log2(tb.max_mult + 1)))))
+    got_packed = np.asarray(
+        kmer_seed_scan(
+            tb.table_lo, tb.text_words, tb.sa_full, tb.sub_tbl,
+            reads, rlens, np.int32(min_seed), max_seeds=ms, l_max=rlen,
+            hit_cap=hit_cap, rounds=rlen // min_seed + 8,
+            seq_len=tb.seq_len, sensitive=True,
+        )
+    )
+    got = unpack_seed_result(got_packed, ms)
+    from kart_tpu.ops.fm_search import unpack_seed_scan as ups
+
+    w = ups(want, ms)
+    ok = np.asarray(got["ok"])
+    assert ok.all(), f"{(~ok).sum()} lanes flagged on a tiny clean genome"
+    np.testing.assert_array_equal(got["n_seeds"], w["n_seeds"])
+    for f in ("rpos", "slen", "k0", "freq"):
+        np.testing.assert_array_equal(got[f], np.asarray(w[f]), err_msg=f)
