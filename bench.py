@@ -359,6 +359,22 @@ def main():
                 pb_mapper, pb, None, 3, pacbio=True, expect=PB_N_READS
             )
             pb_ref = measure_reference_pacbio(prefix, pb)
+            # device-pb: TPU sensitive kmer-funnel seeding + native post
+            dev_pb = None
+            try:
+                os.environ["KART_SEED_MODE"] = "device"
+                dpb = KartMapper(gidx, pacbio=True)
+                dpb.map_stream(pb, None, False, True, lambda s: None)
+                dev_rates = []
+                for _ in range(2):
+                    t0 = time.time()
+                    dpb.map_stream(pb, None, False, True, lambda s: None)
+                    dev_rates.append(PB_N_READS / (time.time() - t0))
+                dev_pb = round(statistics.median(dev_rates), 1)
+            except Exception:
+                pass
+            finally:
+                os.environ.pop("KART_SEED_MODE", None)
             avg_len = (PB_MIN_LEN + PB_MAX_LEN) / 2
             print(json.dumps({
                 "metric": "pacbio_reads_per_sec_per_chip",
@@ -367,8 +383,10 @@ def main():
                 "bases_per_sec": round(pb_median * avg_len, 0),
                 "vs_baseline": round(pb_median / pb_ref, 4) if pb_ref else None,
                 "baseline_reads_per_sec": round(pb_ref, 1) if pb_ref else None,
+                "device_pb_reads_per_sec": dev_pb,
                 "spread": [round(min(pb_rates), 1), round(max(pb_rates), 1)],
-                "note": "5-7kb reads, 15% error; same-window reference -pacbio -t16",
+                "note": "5-7kb reads, 15% error; same-window reference -pacbio -t16; "
+                        "device_pb = TPU sensitive-funnel seeding mode",
             }))
         except Exception as e:
             print(json.dumps({
