@@ -326,3 +326,27 @@ def test_kmer_sensitive_scan_matches_fm_sensitive(tiny_index):
     np.testing.assert_array_equal(got["n_seeds"], w["n_seeds"])
     for f in ("rpos", "slen", "k0", "freq"):
         np.testing.assert_array_equal(got[f], np.asarray(w[f]), err_msg=f)
+
+
+def test_native_pack_matches_numpy():
+    """kart_pack_reads_2bit (one-pass C++) must produce bit-identical
+    words and ambiguity lists to the numpy packer across shapes, N
+    densities, and the amb-bucket boundaries."""
+    import kart_tpu.ops.pack as pk
+
+    rng = np.random.default_rng(31)
+    for B, L, n_amb in ((7, 150, 0), (64, 160, 5), (33, 97, 300),
+                        (16, 33, 400), (4, 8192, 9000)):
+        reads = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+        if n_amb:
+            reads[rng.integers(0, B, n_amb), rng.integers(0, L, n_amb)] = 4
+        native = pk._native_pack(reads, B, L, -(-L // 16))
+        assert native is not None
+        orig = pk._native_pack
+        pk._native_pack = lambda *a: None
+        try:
+            ref = pk.pack_reads_2bit(reads)
+        finally:
+            pk._native_pack = orig
+        for a, b, name in zip(native, ref, ("words", "amb_r", "amb_p")):
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} B={B} L={L}")
