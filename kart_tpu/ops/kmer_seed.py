@@ -250,8 +250,11 @@ _SLAB_ROWS = int(_os.environ.get("KART_SLAB_ROWS", "4096"))
 # compacted-extension hit budget per lane (average): lanes whose interval
 # hits overrun the round's H = _HIT_BUDGET * B compact rows are flagged
 # ok=False and re-seeded exactly by the FM stepper (same contract as
-# hit_cap interval overflow)
-_HIT_BUDGET = int(_os.environ.get("KART_HIT_BUDGET", "4"))
+# hit_cap interval overflow).  Scan time is ~proportional to H (r5:
+# 217 -> 132 ms per 32k group going 4 -> 2) and budget 2 flags ZERO lanes
+# on the repeat-bearing bench genome; overflow costs only a re-seed
+# dispatch, never correctness.
+_HIT_BUDGET = int(_os.environ.get("KART_HIT_BUDGET", "2"))
 
 
 @functools.partial(
