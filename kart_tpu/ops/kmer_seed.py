@@ -377,7 +377,9 @@ def _kmer_seed_scan_slab(
     # (192 bases) instead of a 160-byte window compare: ~400x fewer gathered
     # elements than the dense (B, hit_cap, l_max) layout, which was
     # DMA-bound at ~4.4 ms/read on TPU v5e.
-    H = _HIT_BUDGET * B
+    # SensitiveMode rounds keep EVERY lane active (one restart per round),
+    # so the per-round hit total runs ~2x FastMode's; keep its budget >= 4
+    H = max(_HIT_BUDGET, 4) * B if sensitive else _HIT_BUDGET * B
     # gathered words per window, derived from l_max so the funnel compare
     # covers the FULL possible extension: W-1 aligned words = (W-1)*16
     # bases >= l_max (ADVICE r3: a fixed W=13 saturated the LCP at 192

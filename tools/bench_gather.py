@@ -159,6 +159,29 @@ def main():
 
         report(f"two_level_{R}", time_slope(two), HR, 4 * H)
 
+    # --- gather-free formulations for SMALL tables (the scan's per-lane
+    # pickups gather H=16384 values from B=4096-entry tables): select-
+    # reduce generates the one-hot on the fly inside a fused reduction;
+    # onehot-matmul rides the MXU in f32 ---
+    NTB = 4096
+    tbl_small = jnp.asarray(rng.integers(0, 2**20, size=NTB, dtype=np.int32))
+    si_all = stack([rng.integers(0, NTB, size=H).astype(np.int32) for _ in range(NV)])
+    ar_tb = jnp.arange(NTB, dtype=jnp.int32)
+
+    def selred(k):
+        idx = pick(si_all, k)
+        return jnp.where(idx[:, None] == ar_tb[None, :], tbl_small[None, :], 0).sum(1)
+
+    report(f"selreduce_{NTB}", time_slope(selred), H, 4 * H)
+
+    def onehot_mxu(k):
+        idx = pick(si_all, k)
+        oh = (idx[:, None] == ar_tb[None, :]).astype(jnp.bfloat16)
+        return jnp.dot(oh, tbl_small.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    report(f"onehot_mxu_{NTB}", time_slope(onehot_mxu), H, 4 * H)
+
     # --- small-source gather (512 KB) ---
     small = jnp.asarray(rng.integers(0, 2**31 - 1, size=131072, dtype=np.int32))
     sm_all = stack([rng.integers(0, 131072, size=H).astype(np.int32) for _ in range(NV)])
