@@ -256,6 +256,13 @@ _SLAB_ROWS = int(_os.environ.get("KART_SLAB_ROWS", "4096"))
 # dispatch, never correctness.
 _HIT_BUDGET = int(_os.environ.get("KART_HIT_BUDGET", "2"))
 
+# per-lane hit pickups as a one-hot matmul instead of gathers: 1.56 vs
+# 12 ns/element in the isolated microbench (tools/bench_gather.py), but
+# measured SLOWER inside the round loop (scan 141 -> 203 ms per 32k
+# group) — the (H, B) one-hot + bf16 convert doesn't fold away in this
+# context.  Default off; knob kept for re-probing on other topologies.
+_ONEHOT = _os.environ.get("KART_ONEHOT", "0") == "1"
+
 
 @functools.partial(
     jax.jit,
@@ -450,11 +457,28 @@ def _kmer_seed_scan_slab(
             | (damb1 << 2)
             | fits.astype(jnp.int32)
         )
-        g1h = g1[lane_c]
+        a = lo - start  # rows = lo + hit_idx = a + jhit; a >= -H
+        if _ONEHOT:
+            # one-hot matmul pickup (tools/bench_gather.py: 1.56 ns/elem
+            # vs 12 ns for the flat gather): split every per-lane word
+            # into <=2^24 pieces so the f32 accumulation is exact, and
+            # fetch all pieces with ONE (H, B) x (B, 4) dot
+            oh = (lane_c[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+            a_off = a + H  # >= 0, <= seq_len + H < 2^31
+            cols = jnp.stack(
+                [g1 & 0xFFF, g1 >> 12, a_off & 0xFFF, a_off >> 12], axis=1
+            ).astype(jnp.float32)
+            picked = jnp.dot(oh, cols, preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)
+            g1h = picked[:, 0] | (picked[:, 1] << 12)
+            a_h = (picked[:, 2] | (picked[:, 3] << 12)) - H
+        else:
+            g1h = g1[lane_c]
+            a_h = a[lane_c]
         start_h = g1h >> (DB + 2)
         damb_h = ((g1h >> 2) & ((1 << DB) - 1)) + 1
         fits_h = (g1h & 1) == 1
-        a_h = (lo - start)[lane_c]  # rows = lo + hit_idx = a + jhit
 
         valid_hit = (jhit < total) & fits_h
         hit_idx = jhit - start_h
