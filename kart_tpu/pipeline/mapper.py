@@ -651,12 +651,13 @@ class KartMapper:
                     max_seeds=max_seeds, l_max=l_max, hit_cap=hit_cap,
                     rounds=l_max // self.min_seed_len + 8,
                     seq_len=tb.seq_len, occ_budget=budget, sensitive=True,
+                    pack16=self._pack16(l_max),
                 )
                 return "resolved", futs, 0
             futs = sensitive_scan_resolved_packed(
                 self.fm_dev, words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
-                sa_mode=sa_mode,
+                sa_mode=sa_mode, pack16=self._pack16(l_max),
             )
             return "resolved", futs, 0
         max_seeds = l_max // (self.min_seed_len + 1) + 1
@@ -671,15 +672,21 @@ class KartMapper:
                 words, amb_r, amb_p, rl_d, msl,
                 max_seeds=max_seeds, l_max=l_max,
                 hit_cap=hit_cap, rounds=l_max // 10 + 4, seq_len=tb.seq_len,
-                occ_budget=budget,
+                occ_budget=budget, pack16=self._pack16(l_max),
             )
             return "resolved", futs, 0
         futs = seed_scan_resolved_packed(
             self.fm_dev, words, amb_r, amb_p, rl_d, msl,
             max_seeds=max_seeds, l_max=l_max, occ_budget=budget,
-            sa_mode=sa_mode,
+            sa_mode=sa_mode, pack16=self._pack16(l_max),
         )
         return "resolved", futs, 0
+
+    def _pack16(self, l_max: int) -> bool:
+        """16-bit stream packing is exact iff rpos < 256 and slen <= 256
+        (l_max <= 256) on an int32-index genome — the Illumina production
+        shapes.  PacBio/i64 keep the 32-bit layout."""
+        return l_max <= 256 and self.gidx.index_dtype is np.int32
 
     def _device_sa_mode(self) -> str:
         """The device resolver must be chosen from what the DEVICE holds,
@@ -736,9 +743,9 @@ class KartMapper:
         futs = fn(
             self.fm_dev, jnp.asarray(words), jnp.asarray(ar), jnp.asarray(ap),
             jnp.asarray(rl_b), msl, max_seeds=max_seeds, l_max=l_max,
-            occ_budget=budget, sa_mode=sa_mode,
+            occ_budget=budget, sa_mode=sa_mode, pack16=self._pack16(l_max),
         )
-        cnts, meta, gpos = unpack_stream(futs, Bb, budget)
+        cnts, meta, gpos = unpack_stream(futs, Bb, budget, self._pack16(l_max))
         ok, tot, offs = decode_resolved_counts(cnts)
         out = {}
         for j, i in enumerate(bad):
@@ -770,7 +777,9 @@ class KartMapper:
         if host is not None:
             cnts, meta, gpos = host
         else:
-            cnts, meta, gpos = unpack_stream(futs, B, self._occ_budget(B, l_max))
+            cnts, meta, gpos = unpack_stream(
+                futs, B, self._occ_budget(B, l_max), self._pack16(l_max)
+            )
         ok, tot, offs = decode_resolved_counts(cnts)
         rpos = (meta & 0xFFFF).astype(np.int32)
         slen = ((meta >> 16) & 0xFFFF).astype(np.int32)  # logical shift: slen 32768 sets the sign bit
@@ -922,7 +931,8 @@ class KartMapper:
 
                     B = entry["ri"].shape[0]
                     entry["host"] = unpack_stream(
-                        entry["fut"], B, self._occ_budget(B, entry["lm"])
+                        entry["fut"], B, self._occ_budget(B, entry["lm"]),
+                        self._pack16(entry["lm"]),
                     )
                 except Exception as e:  # surfaced at finalize
                     entry["err"] = e
