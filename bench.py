@@ -331,14 +331,33 @@ def main():
                 if dev_ratios
                 else dev_median / BASELINE_REF_READS_PER_SEC
             )
+            # tunnel-health probe: d2h rate of 1 MB of device-computed
+            # data.  The relay's d2h has been observed to degrade 30 ->
+            # 0.1 MB/s for ~45-90 min after any killed client (orphaned
+            # pool grant); this field lets a reader tell a wedged-relay
+            # window from a code regression.
+            d2h_mbps = None
+            try:
+                import jax.numpy as jnp
+
+                x = jnp.arange(262144, dtype=jnp.int32) * 3
+                np.asarray(x[:1])
+                t0 = time.time()
+                np.asarray(x)
+                d2h_mbps = round(1.0 / max(time.time() - t0, 1e-9), 1)
+            except Exception:
+                pass
             print(json.dumps({
                 "metric": "illumina_pe_reads_per_sec_device_pipelined",
                 "value": round(dev_median, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(vs, 4),
                 "spread": [round(min(dev_rates), 1), round(max(dev_rates), 1)],
+                "relay_d2h_MBps": d2h_mbps,
                 "note": "TPU-resident seeding+resolution pipeline through the axon "
-                        "relay; vs same-window interleaved reference -t16",
+                        "relay; vs same-window interleaved reference -t16; healthy "
+                        "relay d2h is 10-30 MB/s — lower means a degraded tunnel "
+                        "window, not a pipeline change (BASELINE.md)",
             }))
         except Exception as e:  # chip unreachable: keep the headline line alive
             print(json.dumps({
