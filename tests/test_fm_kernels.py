@@ -350,3 +350,32 @@ def test_native_pack_matches_numpy():
             pk._native_pack = orig
         for a, b, name in zip(native, ref, ("words", "amb_r", "amb_p")):
             np.testing.assert_array_equal(a, b, err_msg=f"{name} B={B} L={L}")
+
+
+def test_stream_pack16_roundtrip():
+    """_pack_stream(pack16=True) -> unpack_stream must reproduce the
+    canonical (cnts, meta, gpos) exactly, including negative overflow-flag
+    counts and boundary rpos/slen values."""
+    import jax.numpy as jnp
+
+    from kart_tpu.ops.pack import _pack_stream, unpack_stream
+
+    rng = np.random.default_rng(3)
+    B, H = 64, 192
+    cnts = rng.integers(-601, 601, size=B).astype(np.int32)
+    rpos = rng.integers(0, 244, size=H).astype(np.int32)
+    slen = rng.integers(13, 257, size=H).astype(np.int32)
+    rpos[0], slen[0] = 0, 13
+    rpos[1], slen[1] = 243, 256
+    cnts[0], cnts[1] = -601, 600
+    meta = rpos | (slen << 16)
+    gpos = rng.integers(0, 2**31 - 1, size=H).astype(np.int32)
+    packed = np.asarray(
+        _pack_stream(jnp.asarray(cnts), jnp.asarray(meta), jnp.asarray(gpos),
+                     pack16=True)
+    )
+    assert packed.size == B // 2 + H // 2 + H  # -29% vs the 32-bit layout
+    c2, m2, g2 = unpack_stream(packed, B, H, pack16=True)
+    np.testing.assert_array_equal(c2, cnts)
+    np.testing.assert_array_equal(m2, meta)
+    np.testing.assert_array_equal(g2, gpos)
